@@ -1,0 +1,53 @@
+"""Generic fixed-iteration optimizers over pytrees (Adam via optax).
+
+The reference's two-stage refinement is Adam(lr) for ``maxiters`` followed by
+L-BFGS (``src/parameter-estimation.jl:144-183``); this module provides the
+Adam stage as a ``lax.scan`` over a static iteration count so it can be
+``vmap``-ed over the multi-start restart axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import optax
+
+
+class AdamResult(NamedTuple):
+    x: Any
+    fval: jax.Array
+    loss_trace: jax.Array  # [iters]
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def adam_minimize(
+    fun: Callable[[Any], jax.Array],
+    x0: Any,
+    iters: int = 1000,
+    lr: float = 1e-2,
+) -> AdamResult:
+    """Run ``iters`` Adam steps on ``fun`` starting from pytree ``x0``.
+
+    Non-finite gradients (diverged ODE solves) are zeroed so a bad step
+    cannot poison the whole run; the final iterate is returned together with
+    the loss trace (the reference records loss-trace callbacks,
+    ``suppression/src/suppression_model.jl:22-31``).
+    """
+    opt = optax.adam(lr)
+    state0 = opt.init(x0)
+    vg = jax.value_and_grad(fun)
+
+    def step(carry, _):
+        x, state = carry
+        f, g = vg(x)
+        g = jax.tree.map(lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g)
+        updates, state = opt.update(g, state, x)
+        x = optax.apply_updates(x, updates)
+        return (x, state), f
+
+    (x, _), trace = lax.scan(step, (x0, state0), None, length=iters)
+    return AdamResult(x=x, fval=fun(x), loss_trace=trace)

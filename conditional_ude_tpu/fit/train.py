@@ -1,0 +1,294 @@
+"""Multi-start training engine for UDE / conditional-UDE models.
+
+Reference parity (``src/parameter-estimation.jl``):
+  * joint cUDE training — 25,000 (NN-random × β-LHS) initial screening →
+    best 25 → Adam(1e-2)×1000 + L-BFGS×1000 per restart (:340-386),
+  * non-conditional UDE training — 10,000 inits → best 10 (:211-247),
+  * test-time conditional re-estimation — per-individual bounded L-BFGS on β
+    (or β+σ) with the NN frozen (:272-307),
+  * validation model selection — objectives matrix over candidate NNs ×
+    validation individuals (:406-433).
+
+TPU-first redesign: the screening pass is ONE batched loss evaluation over
+the restart axis (chunked ``lax.map`` to bound memory), and each serial
+``for restart`` / ``for individual`` loop is a ``vmap`` axis, so the entire
+multi-start pipeline is a handful of compiled programs.  Failed restarts
+surface as ``inf`` objectives instead of try/catch skips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from conditional_ude_tpu.fit.losses import (
+    population_sse,
+    sse,
+    sse_sigma,
+)
+from conditional_ude_tpu.fit.optim import adam_minimize
+from conditional_ude_tpu.models.cpeptide import Cohort, CPeptideModel, Individual
+from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
+from conditional_ude_tpu.utils.stats import latin_hypercube
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyper-parameters mirroring the reference's keyword defaults
+    (``src/parameter-estimation.jl:340-348``)."""
+
+    initial_guesses: int = 25_000
+    selected_initials: int = 25
+    lhs_lower: float = -2.0
+    lhs_upper: float = 0.0
+    n_conditional: int = 1
+    adam_iters: int = 1000
+    lbfgs_iters: int = 1000
+    adam_lr: float = 1e-2
+    solver: str = "tsit5"
+    max_steps: int = 256
+    screen_chunk: int = 1024
+
+
+class TrainResult(NamedTuple):
+    """Per-restart trained parameters, best-first."""
+
+    nn_params: jax.Array      # [R, P]
+    betas: jax.Array          # [R, N, c]
+    objectives: jax.Array     # [R]
+    screen_losses: jax.Array  # [G] losses of all initial guesses
+    loss_traces: jax.Array    # [R, adam_iters]
+
+
+def _chunked_map(fn, xs, chunk: int):
+    """``lax.map``-style evaluation in bounded-memory chunks (host loop)."""
+    n = jax.tree.leaves(xs)[0].shape[0]
+    outs = []
+    for i in range(0, n, chunk):
+        part = jax.tree.map(lambda a: a[i : i + chunk], xs)
+        outs.append(jax.jit(jax.vmap(fn))(part))
+    return jnp.concatenate(outs)
+
+
+def train_conditional(
+    model: CPeptideModel,
+    cohort: Cohort,
+    key: jax.Array,
+    config: TrainConfig = TrainConfig(),
+    seed: int | None = None,
+) -> TrainResult:
+    """Joint training of shared NN weights + per-individual β.
+
+    Equivalent of ``train(models, timepoints, cpeptide, rng)`` at
+    ``src/parameter-estimation.jl:340-386``.
+    """
+    cfg = config
+    n = cohort.n
+    g = cfg.initial_guesses
+
+    # -- initial designs (NN: Glorot-uniform batch; β: Latin hypercube) -----
+    nn_inits = model.net.init_batch(key, g)                       # [G, P]
+    np_rng = np.random.default_rng(
+        seed if seed is not None else int(jax.random.bits(key) % (2**31)))
+    beta_flat = latin_hypercube(np_rng, g, n, cfg.lhs_lower, cfg.lhs_upper)
+    betas_init = jnp.asarray(beta_flat, jnp.float32)[..., None]
+    betas_init = jnp.repeat(betas_init, cfg.n_conditional, axis=-1)  # [G,N,c]
+
+    loss_kw = dict(solver=cfg.solver, max_steps=cfg.max_steps)
+
+    def screen_loss(p):
+        nn, b = p
+        return population_sse(model, nn, b, cohort, **loss_kw)
+
+    screen = _chunked_map(screen_loss, (nn_inits, betas_init),
+                          cfg.screen_chunk)                        # [G]
+
+    # -- top-k selection ------------------------------------------------------
+    k = cfg.selected_initials
+    top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))[:k]
+    nn0 = nn_inits[top]
+    b0 = betas_init[top]
+
+    # -- Adam stage (vmapped over restarts) -----------------------------------
+    def run_adam(nn, b):
+        res = adam_minimize(
+            lambda p: population_sse(model, p["neural"], p["conditional"],
+                                     cohort, **loss_kw),
+            {"neural": nn, "conditional": b},
+            iters=cfg.adam_iters, lr=cfg.adam_lr)
+        return res.x["neural"], res.x["conditional"], res.loss_trace
+
+    nn1, b1, traces = jax.jit(jax.vmap(run_adam))(nn0, b0)
+
+    # -- L-BFGS stage (flat joint vector per restart) -------------------------
+    p_nn = nn1.shape[-1]
+
+    def run_lbfgs(nn, b):
+        x0 = jnp.concatenate([nn, b.reshape(-1)])
+
+        def flat_loss(x):
+            return population_sse(model, x[:p_nn],
+                                  x[p_nn:].reshape(n, cfg.n_conditional),
+                                  cohort, **loss_kw)
+
+        res = lbfgs_minimize(flat_loss, x0, max_iters=cfg.lbfgs_iters)
+        return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
+                res.fval)
+
+    nn2, b2, objs = jax.jit(jax.vmap(run_lbfgs))(nn1, b1)
+
+    order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
+    return TrainResult(nn_params=nn2[order], betas=b2[order],
+                       objectives=objs[order], screen_losses=screen,
+                       loss_traces=traces[order])
+
+
+def train_ude(
+    model: CPeptideModel,
+    ind: Individual,
+    timepoints: jax.Array,
+    data: jax.Array,
+    key: jax.Array,
+    initial_guesses: int = 10_000,
+    selected_initials: int = 10,
+    adam_iters: int = 1000,
+    lbfgs_iters: int = 1000,
+    adam_lr: float = 1e-2,
+    solver: str = "tsit5",
+    max_steps: int = 256,
+    screen_chunk: int = 2048,
+):
+    """Non-conditional UDE fit on a single series (reference :211-247,
+    used on the mean train curve by ``c-peptide/01-non-conditional.jl``)."""
+    loss_kw = dict(solver=solver, max_steps=max_steps)
+
+    def loss_nn(nn):
+        return sse(model, {"neural": nn}, ind, timepoints, data, **loss_kw)
+
+    nn_inits = model.net.init_batch(key, initial_guesses)
+    screen = _chunked_map(loss_nn, nn_inits, screen_chunk)
+    top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))
+    nn0 = nn_inits[top[:selected_initials]]
+
+    def refine(nn):
+        res = adam_minimize(loss_nn, nn, iters=adam_iters, lr=adam_lr)
+        res2 = lbfgs_minimize(loss_nn, res.x, max_iters=lbfgs_iters)
+        return res2.x, res2.fval
+
+    nn_fit, objs = jax.jit(jax.vmap(refine))(nn0)
+    order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
+    return nn_fit[order], objs[order], screen
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def fit_betas(
+    model: CPeptideModel,
+    nn_params: jax.Array,
+    cohort: Cohort,
+    initial_beta: jax.Array | float = -2.0,
+    bounds: tuple[float, float] = (-4.0, 1.0),
+    lbfgs_iters: int = 1000,
+    solver: str = "tsit5",
+    max_steps: int = 256,
+):
+    """Per-individual bounded β re-estimation with frozen NN.
+
+    Equivalent of ``train(models, …, neural_network_parameters)`` at
+    ``src/parameter-estimation.jl:272-288`` — the reference's serial loop is
+    one vmap over the cohort.  Returns (betas[N], objectives[N]).
+    """
+    lb, ub = bounds
+    init = jnp.broadcast_to(jnp.asarray(initial_beta, jnp.float32),
+                            (cohort.n,))
+
+    def fit_one(b0, ind, data):
+        def loss(b):
+            params = {"neural": nn_params, "conditional": b}
+            return sse(model, params, ind, cohort.timepoints, data,
+                       solver=solver, max_steps=max_steps)
+
+        res = lbfgs_minimize(loss, b0[None],
+                             lower=jnp.array([lb], jnp.float32),
+                             upper=jnp.array([ub], jnp.float32),
+                             max_iters=lbfgs_iters)
+        return res.x[0], res.fval
+
+    return jax.vmap(fit_one)(init, cohort.individuals, cohort.cpeptide)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def fit_betas_sigma(
+    model: CPeptideModel,
+    nn_params: jax.Array,
+    cohort: Cohort,
+    initial_beta: jax.Array | float = -2.0,
+    bounds: tuple[float, float] = (-4.0, 1.0),
+    lbfgs_iters: int = 1000,
+    solver: str = "tsit5",
+    max_steps: int = 256,
+):
+    """β + σ re-estimation via the Gaussian NLL (reference
+    ``train_with_sigma``, :290-307; σ unbounded, initial 1.0).
+
+    Returns (betas[N], sigmas[N], objectives[N]).
+    """
+    lb, ub = bounds
+    init = jnp.broadcast_to(jnp.asarray(initial_beta, jnp.float32),
+                            (cohort.n,))
+    big = 1e30  # effectively unbounded σ, matching (-Inf, Inf) bounds
+
+    def fit_one(b0, ind, data):
+        def loss(x):
+            params = {"neural": nn_params, "conditional": x[0]}
+            return sse_sigma(model, params, x[1], ind, cohort.timepoints,
+                             data, solver=solver, max_steps=max_steps)
+
+        res = lbfgs_minimize(
+            loss, jnp.stack([b0, jnp.asarray(1.0, jnp.float32)]),
+            lower=jnp.array([lb, -big], jnp.float32),
+            upper=jnp.array([ub, big], jnp.float32),
+            max_iters=lbfgs_iters)
+        return res.x[0], res.x[1], res.fval
+
+    return jax.vmap(fit_one)(init, cohort.individuals, cohort.cpeptide)
+
+
+def evaluate_model(
+    model: CPeptideModel,
+    candidates_nn: jax.Array,   # [R, P]
+    betas_train: jax.Array,     # [R, N_train, c] or [R, N_train]
+    cohort: Cohort,             # validation cohort
+    lbfgs_iters: int = 1000,
+    solver: str = "tsit5",
+    max_steps: int = 256,
+) -> jax.Array:
+    """Validation objectives matrix [R, N_valid] for model selection.
+
+    Equivalent of ``evaluate_model`` (``src/parameter-estimation.jl:406-433``):
+    for each candidate NN, re-fit β on each validation individual by
+    *unbounded* L-BFGS initialized at the mean of that candidate's training
+    β's; pick the candidate with the smallest summed objective.
+    """
+    init_betas = jnp.mean(betas_train.reshape(betas_train.shape[0], -1),
+                          axis=1)  # [R]
+    big = 1e30
+
+    def per_candidate(nn, b0):
+        betas, objs = fit_betas(model, nn, cohort, initial_beta=b0,
+                                bounds=(-big, big), lbfgs_iters=lbfgs_iters,
+                                solver=solver, max_steps=max_steps)
+        return objs
+
+    return jax.jit(jax.vmap(per_candidate))(candidates_nn, init_betas)
+
+
+def select_best(objectives: jax.Array) -> int:
+    """argmin over candidates of summed validation objectives
+    (``c-peptide/02-conditional.jl:40``)."""
+    return int(jnp.argmin(jnp.sum(objectives, axis=1)))

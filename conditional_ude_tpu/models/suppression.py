@@ -1,0 +1,270 @@
+"""Simulated suppression-model cUDE example (synthetic ground truth).
+
+Capability parity with ``suppression/src/suppression_model.jl``: a 3-state
+ODE whose suppression flux ``p2·u2/(1 + p4·u3)`` is replaced by a neural
+network receiving the state plus a learnable per-individual conditional
+parameter exp(θᵢ); training jointly fits NN weights + θ over a synthetic
+population with known per-individual p4, so rank correlation between θ̂ and
+the ground truth measures method recovery — the reference's (and our) main
+end-to-end test (SURVEY.md §4).
+
+TPU-first: the reference's ``EnsembleProblem`` + ``EnsembleThreads`` batched
+solves become a ``vmap`` over the population axis inside one compiled loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conditional_ude_tpu.nn import MLP, chain
+from conditional_ude_tpu.fit.optim import adam_minimize
+from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
+from conditional_ude_tpu.ops.tsit5 import solve_tsit5
+
+P_TRUE = (0.4, 0.9, 0.3)    # group-mean kinetic parameters (p1, p2, p3)
+U0 = (10.0, 0.0, 0.0)
+
+
+def suppression_net(depth: int = 5, width: int = 3) -> MLP:
+    """The reference's network: ``depth`` tanh layers of ``width``, softplus
+    head, 4 inputs = 3 states + conditional
+    (``suppression/suppression.jl:13-18``)."""
+    return chain(width, depth, "tanh", input_dims=4)
+
+
+def lsup_rhs(t, u, p):
+    """Ground-truth 3-state suppression ODE
+    (``suppression/src/suppression_model.jl:16-20``)."""
+    p1, p2, p3, p4 = p
+    flux = p2 * u[1] / (1.0 + p4 * u[2])
+    return jnp.stack([-p1 * u[0], p1 * u[0] - flux, flux - p3 * u[2]])
+
+
+def sample_group_parameters(mu_sup: float, n: int,
+                            rng: np.random.Generator) -> np.ndarray:
+    """N(μ, σ) individual parameters clipped ≥ 0.05, σ_sup = μ_sup/8
+    (reference :33-37). Shape [n, 4]."""
+    mu = np.array([*P_TRUE, mu_sup])
+    std = np.array([0.1, 0.1, 0.1, mu_sup / 8.0])
+    return np.maximum(mu + std * rng.standard_normal((n, 4)), 0.05)
+
+
+def generate_data(
+    group_means,
+    group_sizes,
+    timepoints,
+    noise_multiplicative: float = 0.0,
+    noise_additive: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """Simulate a synthetic population; returns (data[N, 3, T], gt_p4[N]).
+
+    Mirrors reference :39-63 (Tsit5 simulation + multiplicative noise,
+    clipped ≥ 0).
+    """
+    rng = rng or np.random.default_rng(232705)
+    timepoints = np.asarray(timepoints, dtype=np.float32)
+    params = np.concatenate([
+        sample_group_parameters(gm, gs, rng)
+        for gm, gs in zip(group_means, group_sizes)
+    ])  # [N, 4]
+
+    u0 = jnp.asarray(U0, jnp.float32)
+    tp = jnp.asarray(timepoints)
+
+    def simulate_one(p):
+        return solve_tsit5(lsup_rhs, u0, tp[0], tp[-1], p, tp,
+                           rtol=1e-6, atol=1e-8, max_steps=1024).ys
+
+    sols = np.array(jax.jit(jax.vmap(simulate_one))(
+        jnp.asarray(params, jnp.float32)))          # [N, T, 3]
+    sols = np.swapaxes(sols, 1, 2)                  # [N, 3, T]
+    noise = (noise_additive * rng.standard_normal(sols.shape)
+             + noise_multiplicative * sols * rng.standard_normal(sols.shape))
+    data = np.maximum(sols + noise, 0.0)
+    return data.astype(np.float32), params[:, 3].astype(np.float32)
+
+
+def make_ude_rhs(net: MLP):
+    """UDE: NN([u; exp(θ)]) replaces the suppression flux (reference :88-95)."""
+
+    def rhs(t, u, args):
+        nn, theta = args
+        x = jnp.concatenate([u, jnp.exp(jnp.atleast_1d(theta))])
+        flux = net.scalar(nn, x)
+        p1, _, p3 = P_TRUE
+        return jnp.stack([-p1 * u[0], p1 * u[0] - flux, flux - p3 * u[2]])
+
+    return rhs
+
+
+def simulate_population(net, nn_params, thetas, u0s, timepoints,
+                        max_steps: int = 512):
+    """Batched UDE solve from per-individual initial states (the reference's
+    EnsembleProblem, :97-115). Returns ys[N, T, 3] and success[N]."""
+    rhs = make_ude_rhs(net)
+    tp = jnp.asarray(timepoints, jnp.float32)
+
+    def one(theta, u0):
+        return solve_tsit5(rhs, u0, tp[0], tp[-1], (nn_params, theta), tp,
+                           max_steps=max_steps)
+
+    return jax.vmap(one)(thetas, u0s)
+
+
+def suppression_loss(net, nn_params, thetas, data, timepoints,
+                     lam: float = 0.0, max_steps: int = 512):
+    """Scale-normalized population SSE / N + λ‖NN‖² (reference :117-130).
+
+    ``data[N, 3, T]``; initial conditions are the first sample of each
+    trajectory; a diverged individual makes the loss ``inf``.
+    """
+    u0s = data[:, :, 0]
+    res = simulate_population(net, nn_params, thetas, u0s, timepoints,
+                              max_steps=max_steps)
+    sims = jnp.swapaxes(res.ys, 1, 2)               # [N, 3, T]
+    # scale[3]: mean over individuals of per-state max over time (ref :126)
+    scale = jnp.mean(jnp.max(data, axis=2), axis=0)
+    err = jnp.sum(((sims - data) / scale[None, :, None]) ** 2)
+    err = jnp.where(res.success.all(), err, jnp.inf)
+    n = data.shape[0]
+    return err / n + lam * jnp.sum(nn_params**2)
+
+
+@dataclasses.dataclass(frozen=True)
+class SuppressionFitConfig:
+    """Reference defaults: 10,000 joint inits → best 25 → Adam×2000 +
+    L-BFGS×2000 (``suppression/suppression.jl:10-11``, model file :160-168)."""
+
+    initial_space: int = 10_000
+    select_best_n: int = 25
+    adam_iters: int = 2000
+    lbfgs_iters: int = 2000
+    adam_lr: float = 1e-3   # Optimisers.Adam() default
+    max_steps: int = 512
+    screen_chunk: int = 512
+
+
+class SuppressionFit(NamedTuple):
+    nn_params: jax.Array    # [R, P] best-first
+    thetas: jax.Array       # [R, N]
+    objectives: jax.Array   # [R]
+    loss_traces: jax.Array  # [R, adam_iters]
+
+
+def fit_suppression(
+    net: MLP,
+    data: jax.Array,
+    timepoints: jax.Array,
+    key: jax.Array,
+    lam: float = 0.0,
+    config: SuppressionFitConfig = SuppressionFitConfig(),
+) -> SuppressionFit:
+    """Joint (NN, θ) multi-start fit (reference ``fit_suppression_model``)."""
+    cfg = config
+    n = data.shape[0]
+    data = jnp.asarray(data, jnp.float32)
+    tp = jnp.asarray(timepoints, jnp.float32)
+
+    k_nn, k_th = jax.random.split(key)
+    nn_inits = net.init_batch(k_nn, cfg.initial_space)
+    theta_inits = jax.random.normal(k_th, (cfg.initial_space, n))
+
+    def loss(nn, th):
+        return suppression_loss(net, nn, th, data, tp, lam,
+                                max_steps=cfg.max_steps)
+
+    # screening in chunks
+    losses = []
+    screen = jax.jit(jax.vmap(loss))
+    for i in range(0, cfg.initial_space, cfg.screen_chunk):
+        losses.append(screen(nn_inits[i:i + cfg.screen_chunk],
+                             theta_inits[i:i + cfg.screen_chunk]))
+    losses = jnp.concatenate(losses)
+    top = jnp.argsort(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    top = top[: cfg.select_best_n]
+
+    p_nn = nn_inits.shape[-1]
+
+    def refine(nn, th):
+        res = adam_minimize(lambda p: loss(p["nn"], p["th"]),
+                            {"nn": nn, "th": th},
+                            iters=cfg.adam_iters, lr=cfg.adam_lr)
+        x0 = jnp.concatenate([res.x["nn"], res.x["th"]])
+        res2 = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:]), x0,
+                              max_iters=cfg.lbfgs_iters)
+        return res2.x[:p_nn], res2.x[p_nn:], res2.fval, res.loss_trace
+
+    nn_f, th_f, objs, traces = jax.jit(jax.vmap(refine))(
+        nn_inits[top], theta_inits[top])
+    order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
+    return SuppressionFit(nn_params=nn_f[order], thetas=th_f[order],
+                          objectives=objs[order], loss_traces=traces[order])
+
+
+def validate_suppression(
+    net: MLP,
+    nn_params: jax.Array,
+    data: jax.Array,
+    timepoints: jax.Array,
+    theta_inits: jax.Array,      # [n_init, N] candidate θ vectors
+    lbfgs_iters: int = 2000,
+    max_steps: int = 512,
+):
+    """θ-only re-fit with frozen NN from the best of random inits
+    (reference ``validate_suppression_model``, :179-222).
+
+    Returns (theta[N], objective).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    tp = jnp.asarray(timepoints, jnp.float32)
+
+    def loss(th):
+        return suppression_loss(net, nn_params, th, data, tp, 0.0,
+                                max_steps=max_steps)
+
+    losses = jax.jit(jax.vmap(loss))(theta_inits)
+    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    res = lbfgs_minimize(loss, theta_inits[best], max_iters=lbfgs_iters)
+    return res.x, res.fval
+
+
+def validate_suppression_sigma(
+    net: MLP,
+    nn_params: jax.Array,
+    data_one: jax.Array,        # [3, T] a single individual
+    timepoints: jax.Array,
+    theta_inits: jax.Array,     # [n_init] scalar θ candidates
+    lbfgs_iters: int = 2000,
+    max_steps: int = 512,
+):
+    """Per-individual (θ, σ₁..σ₃) fit via per-state Gaussian NLL (reference
+    ``validate_suppression_model_sigma``, :224-275).  Returns (x[4], nll)."""
+    data_one = jnp.asarray(data_one, jnp.float32)
+    tp = jnp.asarray(timepoints, jnp.float32)
+    rhs = make_ude_rhs(net)
+    n_t = data_one.shape[1]
+
+    def nll(x):
+        theta, sigmas = x[0], x[1:]
+        res = solve_tsit5(rhs, data_one[:, 0], tp[0], tp[-1],
+                          (nn_params, theta), tp, max_steps=max_steps)
+        sims = res.ys.T                                  # [3, T]
+        err = jnp.sum((sims - data_one) ** 2, axis=1)    # per state
+        val = jnp.sum((n_t / 2.0) * jnp.log(sigmas**2)
+                      + err / (2.0 * sigmas**2))
+        return jnp.where(res.success, val, jnp.inf)
+
+    def init_loss(th):
+        return nll(jnp.concatenate([th[None], jnp.ones(3)]))
+
+    losses = jax.jit(jax.vmap(init_loss))(theta_inits)
+    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    x0 = jnp.concatenate([theta_inits[best][None], jnp.ones(3)])
+    res = lbfgs_minimize(nll, x0, max_iters=lbfgs_iters)
+    return res.x, res.fval

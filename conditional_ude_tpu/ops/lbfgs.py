@@ -1,0 +1,228 @@
+"""Batched L-BFGS with backtracking line search and box constraints.
+
+The reference leans on Optim.jl's ``LBFGS(linesearch=BackTracking())`` for
+every refinement stage (``src/parameter-estimation.jl:144-183``) and on its
+box-constrained variant for per-individual β re-estimation (:159-168).  This
+is a fixed-shape JAX re-design: the whole optimizer is a ``lax.while_loop``
+over a static iteration budget with circular history buffers, so it can be
+``vmap``-ed across restarts and individuals and compiled once — per-lane
+convergence is handled with done-masks instead of early returns.
+
+Box constraints use gradient projection (clip iterates into ``[lb, ub]`` and
+measure convergence with the projected gradient) — a deliberate redesign of
+Optim.jl's Fminbox barrier that is fixed-shape and batch-friendly; for the
+scalar-β problems it reaches the same constrained minima.
+
+Objectives may return ``inf``/``nan`` (e.g. a diverged ODE solve): such trial
+points are rejected by the line search and a lane that cannot make progress
+freezes rather than crashing the batch (mirrors the reference's
+``try/catch``-skip at ``src/parameter-estimation.jl:234-241``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LBFGSResult(NamedTuple):
+    x: jax.Array
+    fval: jax.Array
+    converged: jax.Array
+    num_iters: jax.Array
+
+
+def _project(x, lower, upper):
+    if lower is not None:
+        x = jnp.maximum(x, lower)
+    if upper is not None:
+        x = jnp.minimum(x, upper)
+    return x
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 8))
+def lbfgs_minimize(
+    fun: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    lower: jax.Array | None = None,
+    upper: jax.Array | None = None,
+    max_iters: int = 1000,
+    history: int = 10,
+    gtol: float = 1e-6,
+    ftol: float = 0.0,
+    max_backtracks: int = 30,
+) -> LBFGSResult:
+    """Minimize ``fun(x)`` starting from ``x0`` (flat vector).
+
+    Batch by ``jax.vmap``-ing this function with per-lane closures/initials.
+    """
+    dtype = x0.dtype
+    p = x0.shape[0]
+    m = history
+
+    x0 = _project(x0, lower, upper)
+    vg = jax.value_and_grad(fun)
+
+    f0, g0 = vg(x0)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    bad_start = ~jnp.isfinite(f0)
+
+    class _S(NamedTuple):
+        x: jax.Array
+        f: jax.Array
+        g: jax.Array
+        S: jax.Array        # [m, p] s-history (circular)
+        Y: jax.Array        # [m, p] y-history
+        rho: jax.Array      # [m]
+        valid: jax.Array    # [m] bool, slot holds a usable pair
+        head: jax.Array     # next write slot
+        it: jax.Array
+        done: jax.Array
+
+    init = _S(
+        x=x0, f=f0, g=g0,
+        S=jnp.zeros((m, p), dtype), Y=jnp.zeros((m, p), dtype),
+        rho=jnp.zeros((m,), dtype), valid=jnp.zeros((m,), bool),
+        head=jnp.asarray(0, jnp.int32), it=jnp.asarray(0, jnp.int32),
+        done=bad_start,
+    )
+
+    def two_loop(s: _S) -> jax.Array:
+        """H·g via the two-loop recursion over valid history slots."""
+        q = s.g
+        # iterate newest→oldest: slots head-1, head-2, ...
+        idxs = (s.head - 1 - jnp.arange(m)) % m
+
+        def bwd(q, i):
+            use = s.valid[i]
+            alpha = jnp.where(use, s.rho[i] * jnp.dot(s.S[i], q), 0.0)
+            q = q - alpha * s.Y[i]
+            return q, alpha
+
+        q, alphas = lax.scan(bwd, q, idxs)
+
+        # H0 scaling from the most recent pair
+        last = (s.head - 1) % m
+        have = s.valid[last]
+        yy = jnp.dot(s.Y[last], s.Y[last])
+        sy = jnp.where(s.rho[last] == 0, 1.0, 1.0 / s.rho[last])
+        gamma = jnp.where(have & (yy > 0), sy / jnp.maximum(yy, 1e-30), 1.0)
+        r = gamma * q
+
+        def fwd(r, ia):
+            i, alpha = ia
+            use = s.valid[i]
+            beta = jnp.where(use, s.rho[i] * jnp.dot(s.Y[i], r), 0.0)
+            r = r + (alpha - beta) * s.S[i]
+            return r, None
+
+        r, _ = lax.scan(fwd, r, (idxs[::-1], alphas[::-1]))
+        return r
+
+    def body(s: _S) -> _S:
+        d = -two_loop(s)
+        # safeguard: fall back to steepest descent if not a descent direction
+        gd = jnp.dot(s.g, d)
+        descent = gd < 0
+        d = jnp.where(descent, d, -s.g)
+        gd = jnp.where(descent, gd, -jnp.dot(s.g, s.g))
+
+        # weak-Wolfe line search by Lewis-Overton bisection: Armijo on f plus
+        # the curvature condition g(x+αd)ᵀd ≥ c2·gᵀd, which guarantees the
+        # stored pair has sᵀy > 0 (plain backtracking does not, and skipped
+        # pairs let the inverse-Hessian estimate go stale and stall)
+        c1 = jnp.asarray(1e-4, dtype)
+        c2 = jnp.asarray(0.9, dtype)
+        inf = jnp.asarray(jnp.inf, dtype)
+
+        class _LS(NamedTuple):
+            lo: jax.Array
+            hi: jax.Array
+            alpha: jax.Array
+            x: jax.Array
+            f: jax.Array
+            g: jax.Array
+            # best Armijo-satisfying point seen (fallback if Wolfe not met)
+            bx: jax.Array
+            bf: jax.Array
+            bg: jax.Array
+            b_ok: jax.Array
+            k: jax.Array
+            ok: jax.Array
+
+        def ls_cond(c: _LS):
+            return (~c.ok) & (c.k < max_backtracks)
+
+        def ls_body(c: _LS) -> _LS:
+            xt = _project(s.x + c.alpha * d, lower, upper)
+            ft, gt = vg(xt)
+            gt = jnp.where(jnp.isfinite(gt), gt, 0.0)
+            armijo = jnp.isfinite(ft) & (ft <= s.f + c1 * c.alpha * gd)
+            curv = jnp.dot(gt, d) >= c2 * gd
+            ok = armijo & curv
+            hi = jnp.where(armijo, c.hi, c.alpha)
+            lo = jnp.where(armijo & ~curv, c.alpha, c.lo)
+            alpha_next = jnp.where(
+                ok, c.alpha,
+                jnp.where(~armijo, 0.5 * (lo + jnp.minimum(hi, c.alpha)),
+                          jnp.where(jnp.isinf(hi), 2.0 * c.alpha,
+                                    0.5 * (lo + hi))))
+            better = armijo & (ft < c.bf)
+            return _LS(
+                lo=lo, hi=hi, alpha=alpha_next,
+                x=xt, f=ft, g=gt,
+                bx=jnp.where(better, xt, c.bx),
+                bf=jnp.where(better, ft, c.bf),
+                bg=jnp.where(better, gt, c.bg),
+                b_ok=c.b_ok | armijo,
+                k=c.k + 1, ok=ok)
+
+        ls0 = _LS(lo=jnp.asarray(0.0, dtype), hi=inf,
+                  alpha=jnp.asarray(1.0, dtype),
+                  x=s.x, f=s.f, g=s.g,
+                  bx=s.x, bf=s.f, bg=s.g, b_ok=jnp.asarray(False),
+                  k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(False))
+        ls = lax.while_loop(ls_cond, ls_body, ls0)
+
+        ls_ok = ls.ok | ls.b_ok
+        x_new = jnp.where(ls.ok, ls.x, jnp.where(ls.b_ok, ls.bx, s.x))
+        f_new = jnp.where(ls.ok, ls.f, jnp.where(ls.b_ok, ls.bf, s.f))
+        g_new = jnp.where(ls.ok, ls.g, jnp.where(ls.b_ok, ls.bg, s.g))
+
+        # curvature pair
+        sk = x_new - s.x
+        yk = g_new - s.g
+        sy = jnp.dot(sk, yk)
+        store = ls_ok & (sy > 1e-10 * jnp.maximum(
+            jnp.dot(sk, sk) * jnp.dot(yk, yk), 1e-30) ** 0.5)
+        slot = s.head % m
+        S = jnp.where(store, s.S.at[slot].set(sk), s.S)
+        Y = jnp.where(store, s.Y.at[slot].set(yk), s.Y)
+        rho = jnp.where(store, s.rho.at[slot].set(1.0 / jnp.where(sy == 0, 1.0, sy)),
+                        s.rho)
+        valid = jnp.where(store, s.valid.at[slot].set(True), s.valid)
+        head = jnp.where(store, (s.head + 1) % m, s.head)
+
+        # convergence: projected-gradient sup-norm / f stagnation / stuck
+        pg = x_new - _project(x_new - g_new, lower, upper)
+        small_g = jnp.max(jnp.abs(pg)) < gtol
+        stalled = ls_ok & (jnp.abs(s.f - f_new) <=
+                           ftol * jnp.maximum(jnp.abs(s.f), 1.0))
+        stuck = ~ls_ok
+        done = small_g | stuck | (jnp.asarray(ftol, dtype) > 0) & stalled
+
+        return _S(x=x_new, f=f_new, g=g_new, S=S, Y=Y, rho=rho, valid=valid,
+                  head=head, it=s.it + 1, done=done)
+
+    def cond(s: _S):
+        return (~s.done) & (s.it < max_iters)
+
+    final = lax.while_loop(cond, lambda s: body(s), init)
+    pg = final.x - _project(final.x - final.g, lower, upper)
+    converged = (jnp.max(jnp.abs(pg)) < gtol) & ~bad_start
+    return LBFGSResult(x=final.x, fval=final.f, converged=converged,
+                       num_iters=final.it)

@@ -1,0 +1,71 @@
+"""Batched L-BFGS: quadratics, Rosenbrock, box constraints, inf-robustness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conditional_ude_tpu.ops import lbfgs_minimize
+
+
+def test_quadratic():
+    A = jnp.diag(jnp.array([1.0, 10.0, 100.0]))
+    b = jnp.array([1.0, -2.0, 3.0])
+
+    def f(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    res = lbfgs_minimize(f, jnp.zeros(3), max_iters=100)
+    expected = np.linalg.solve(np.array(A), np.array(b))
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_rosenbrock():
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    res = lbfgs_minimize(f, jnp.array([-1.2, 1.0]), max_iters=300, gtol=1e-6)
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-3)
+
+
+def test_box_constraints():
+    # unconstrained min at (2, 2); box forces x <= 1
+    def f(x):
+        return jnp.sum((x - 2.0) ** 2)
+
+    res = lbfgs_minimize(f, jnp.zeros(2), lower=jnp.array([-1.0, -1.0]),
+                         upper=jnp.array([1.0, 1.0]), max_iters=100)
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-5)
+    assert bool(res.converged)
+
+
+def test_vmapped_lanes():
+    # batch of shifted quadratics, one lane per shift
+    shifts = jnp.linspace(-2.0, 2.0, 8)
+
+    def solve_one(c):
+        return lbfgs_minimize(lambda x: jnp.sum((x - c) ** 2),
+                              jnp.zeros(2), max_iters=50).x
+
+    xs = jax.vmap(solve_one)(shifts)
+    np.testing.assert_allclose(xs, np.array(shifts)[:, None].repeat(2, 1),
+                               atol=1e-5)
+
+
+def test_inf_objective_region():
+    # objective returns inf outside x < 1.5; optimizer must stay in-domain
+    def f(x):
+        val = (x[0] - 1.0) ** 2
+        return jnp.where(x[0] < 1.5, val, jnp.inf)
+
+    res = lbfgs_minimize(f, jnp.array([0.0]), max_iters=100)
+    np.testing.assert_allclose(res.x, [1.0], atol=1e-4)
+
+
+def test_inf_at_start_is_safe():
+    def f(x):
+        return jnp.where(x[0] > 0, x[0] ** 2, jnp.inf)
+
+    res = lbfgs_minimize(f, jnp.array([-1.0]), max_iters=50)
+    assert not bool(res.converged)
+    assert np.isfinite(np.array(res.x)).all()
