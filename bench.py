@@ -1,0 +1,128 @@
+"""Headline benchmark: batched conditional-UDE cohort ODE solves per second.
+
+The reference's hot loop is a serial per-individual, per-restart chain of
+adaptive Tsit5 solves of the 2-state c-peptide ODE with the MLP production
+term inside the RHS (``src/parameter-estimation.jl:126-140,362-366``).  This
+benchmark measures the TPU-native equivalent: one jitted program evaluating
+the population loss over a [restarts × individuals] grid — i.e. the screening
+pass of joint cUDE training — and reports trajectory solves per second.
+
+``vs_baseline`` is the speedup over a *measured serial baseline*: the same
+solve executed one-trajectory-at-a-time on one host CPU core via a host loop,
+which is the faithful stand-in for the reference's serial Julia execution
+model (the reference publishes no wall-clock numbers, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+OHASHI_CSV = Path("/root/reference/data/ohashi_csv")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_cohort_arrays():
+    """Ohashi training cohort if the CSVs are present, else synthetic."""
+    from conditional_ude_tpu.models.cpeptide import build_cohort
+
+    if OHASHI_CSV.exists():
+        from conditional_ude_tpu.data.ohashi import load_ohashi
+
+        train, _ = load_ohashi(OHASHI_CSV)
+        log(f"ohashi train cohort: {len(train.ages)} subjects")
+        return build_cohort(train.glucose, train.timepoints, train.cpeptide,
+                            train.ages, train.t2dm)
+
+    rng = np.random.default_rng(0)
+    n = 82
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0], np.float32)
+    glucose = 5.0 + rng.uniform(0, 5, (n, 5)).astype(np.float32)
+    cpeptide = 0.5 + rng.uniform(0, 1.5, (n, 5)).astype(np.float32)
+    log("synthetic cohort: 82 subjects")
+    return build_cohort(glucose, tp, cpeptide,
+                        rng.uniform(30, 70, n).astype(np.float32),
+                        rng.uniform(size=n) > 0.7)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.fit.losses import population_sse, sse
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel
+    from conditional_ude_tpu.nn import chain
+
+    log(f"backend: {jax.default_backend()}, devices: {len(jax.devices())}")
+
+    cohort = build_cohort_arrays()
+    n_ind = cohort.n
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+
+    key = jax.random.key(0)
+    G = 512  # restart lanes per batched evaluation
+    nn_inits = net.init_batch(key, G)
+    betas = jnp.asarray(
+        np.random.default_rng(1).uniform(-2, 0, (G, n_ind, 1)), jnp.float32)
+
+    batched = jax.jit(jax.vmap(
+        lambda nn, b: population_sse(model, nn, b, cohort)))
+
+    # warmup / compile
+    out = batched(nn_inits, betas)
+    jax.block_until_ready(out)
+    finite = int(np.isfinite(np.asarray(out)).sum())
+    log(f"warmup done, {finite}/{G} finite lanes")
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = batched(nn_inits, betas)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    solves = reps * G * n_ind
+    tput = solves / dt
+    log(f"batched: {solves} solves in {dt:.3f}s -> {tput:,.0f} solves/s")
+
+    # -- serial baseline: one trajectory at a time on host CPU ---------------
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        single = jax.jit(lambda nn, b, ind, data: sse(
+            model, {"neural": nn, "conditional": b}, ind,
+            cohort.timepoints, data))
+        ind0 = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
+                            cohort.individual(0))
+        data0 = jax.device_put(np.asarray(cohort.cpeptide[0]), cpu)
+        nn0 = jax.device_put(np.asarray(nn_inits[0]), cpu)
+        b0 = jax.device_put(np.asarray(betas[0, 0]), cpu)
+        single(nn0, b0, ind0, data0).block_until_ready()  # compile
+        m = 200
+        t0 = time.perf_counter()
+        for _ in range(m):
+            single(nn0, b0, ind0, data0).block_until_ready()
+        serial_dt = time.perf_counter() - t0
+    serial_tput = m / serial_dt
+    log(f"serial CPU: {m} solves in {serial_dt:.3f}s -> "
+        f"{serial_tput:,.1f} solves/s")
+
+    print(json.dumps({
+        "metric": "cude_cohort_ode_solves_per_sec",
+        "value": round(tput, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(tput / serial_tput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

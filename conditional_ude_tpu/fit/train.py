@@ -35,6 +35,11 @@ from conditional_ude_tpu.fit.losses import (
 from conditional_ude_tpu.fit.optim import adam_minimize
 from conditional_ude_tpu.models.cpeptide import Cohort, CPeptideModel, Individual
 from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
+from conditional_ude_tpu.parallel.mesh import (
+    pad_to_multiple,
+    shard_cohort,
+    shard_leading,
+)
 from conditional_ude_tpu.utils.stats import latin_hypercube
 
 
@@ -82,11 +87,18 @@ def train_conditional(
     key: jax.Array,
     config: TrainConfig = TrainConfig(),
     seed: int | None = None,
+    mesh=None,
 ) -> TrainResult:
     """Joint training of shared NN weights + per-individual β.
 
     Equivalent of ``train(models, timepoints, cpeptide, rng)`` at
     ``src/parameter-estimation.jl:340-386``.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``) the restart axis of the
+    screening pass and the refinement stages is sharded over the mesh's
+    ``"restarts"`` axis, and — if the mesh has an ``"individuals"`` axis —
+    the cohort shards over it too; XLA partitions the vmapped losses with
+    only the final reductions as collectives.
     """
     cfg = config
     n = cohort.n
@@ -95,10 +107,24 @@ def train_conditional(
     # -- initial designs (NN: Glorot-uniform batch; β: Latin hypercube) -----
     nn_inits = model.net.init_batch(key, g)                       # [G, P]
     np_rng = np.random.default_rng(
-        seed if seed is not None else int(jax.random.bits(key) % (2**31)))
+        seed if seed is not None else int(np.asarray(jax.random.bits(key))))
     beta_flat = latin_hypercube(np_rng, g, n, cfg.lhs_lower, cfg.lhs_upper)
     betas_init = jnp.asarray(beta_flat, jnp.float32)[..., None]
     betas_init = jnp.repeat(betas_init, cfg.n_conditional, axis=-1)  # [G,N,c]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        r_size = mesh.shape.get("restarts", 1)
+        nn_inits = shard_leading(pad_to_multiple(nn_inits, r_size), mesh,
+                                 "restarts")
+        betas_init = pad_to_multiple(betas_init, r_size)
+        ind_ax = "individuals" if "individuals" in mesh.shape else None
+        betas_init = jax.device_put(
+            betas_init, NamedSharding(mesh, P("restarts", ind_ax, None)))
+        g = nn_inits.shape[0]
+        if ind_ax:
+            cohort = shard_cohort(cohort, mesh, ind_ax)
 
     loss_kw = dict(solver=cfg.solver, max_steps=cfg.max_steps)
 
@@ -114,6 +140,14 @@ def train_conditional(
     top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))[:k]
     nn0 = nn_inits[top]
     b0 = betas_init[top]
+    if mesh is not None and k % mesh.shape.get("restarts", 1) == 0:
+        # keep the refinement stages sharded over the restart axis too
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ind_ax = "individuals" if "individuals" in mesh.shape else None
+        nn0 = jax.device_put(nn0, NamedSharding(mesh, P("restarts", None)))
+        b0 = jax.device_put(
+            b0, NamedSharding(mesh, P("restarts", ind_ax, None)))
 
     # -- Adam stage (vmapped over restarts) -----------------------------------
     def run_adam(nn, b):

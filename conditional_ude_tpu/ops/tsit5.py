@@ -104,17 +104,23 @@ def _error_norm(err, y0, y1, rtol, atol):
     return jnp.sqrt(jnp.mean(r * r) + jnp.asarray(1e-30, err.dtype))
 
 
+def _rms(x):
+    """sqrt(mean(x²)) with a finite gradient at x == 0 (a steady-state u0
+    makes f0 exactly zero, and the bare sqrt would emit NaN cotangents)."""
+    return jnp.sqrt(jnp.mean(x * x) + jnp.asarray(1e-30, x.dtype))
+
+
 def _initial_dt(f, t0, y0, args, f0, rtol, atol, t_span):
     """Hairer-style automatic initial step size (order 5)."""
     scale = atol + rtol * jnp.abs(y0)
-    d0 = jnp.sqrt(jnp.mean((y0 / scale) ** 2))
-    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2))
+    d0 = _rms(y0 / scale)
+    d1 = _rms(f0 / scale)
     small = (d0 < 1e-5) | (d1 < 1e-5)
     h0 = jnp.where(small, 1e-6, 0.01 * d0 / jnp.where(d1 == 0, 1.0, d1))
     h0 = jnp.minimum(h0, 0.1 * t_span)
     y1 = y0 + h0 * f0
     f1 = f(t0 + h0, y1, args)
-    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / scale) ** 2)) / h0
+    d2 = _rms((f1 - f0) / scale) / h0
     dmax = jnp.maximum(d1, d2)
     h1 = jnp.where(dmax <= 1e-15,
                    jnp.maximum(1e-6, h0 * 1e-3),

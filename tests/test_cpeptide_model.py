@@ -113,11 +113,17 @@ def test_cohort_batched_simulation():
     assert res.ys.shape == (n, 5, 2)
     assert bool(res.success.all())
 
-    # batched result equals per-individual result
+    # batched result equals per-individual result.  At the default rtol=1e-3
+    # the adaptive step sequence may diverge at an accept/reject boundary
+    # under different XLA fusion, so compare at tight tolerances where both
+    # trajectories are pinned well below the assertion threshold.
+    tight = dict(rtol=1e-6, atol=1e-9, max_steps=4096)
+    res_t = simulate_cohort(model, nn_params, betas, cohort, **tight)
     ind0 = cohort.individual(0)
     single = simulate(model, {"neural": nn_params, "conditional": betas[0]},
-                      ind0, tp)
-    np.testing.assert_allclose(res.ys[0], single.ys, rtol=1e-5)
+                      ind0, tp, **tight)
+    assert bool(res_t.success.all()) and bool(single.success)
+    np.testing.assert_allclose(res_t.ys[0], single.ys, rtol=1e-5, atol=1e-7)
 
 
 def test_population_sse_matches_manual():
