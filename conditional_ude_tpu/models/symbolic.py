@@ -1,0 +1,100 @@
+"""Symbolic (Michaelis-Menten) c-peptide production model.
+
+The PySR-discovered equation productionized by the reference
+(``c-peptide/03-symreg.jl:36-40``):
+
+    production(ΔG, k) = 1.78·ΔG / (ΔG + k)   for ΔG ≥ 0, else 0
+
+with the β→k dose-response map ``k = 167·β³ + 21.8`` (:55) and the
+per-individual scalar-k fits of scripts 03 (Ohashi, all 117 subjects) and
+04 (Fujita external validation): box-bounded L-BFGS on the Gaussian σ-NLL,
+initial ``(k, σ) = (40, 1)``, bounds [0, 1000] on both (:99-107).
+
+TPU-first: the reference's serial per-individual loop is one ``vmap``; the
+whole population fits in a single compiled program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from conditional_ude_tpu.fit.losses import sse, sse_sigma
+from conditional_ude_tpu.models.cpeptide import Cohort, CPeptideModel
+from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
+
+
+def symbolic_production(dg: jax.Array, k: jax.Array) -> jax.Array:
+    """1.78·ΔG/(ΔG + k) gated to ΔG ≥ 0 (``03-symreg.jl:37``).
+
+    Implemented as relu(ΔG) so the ungated branch cannot emit NaN/Inf
+    gradients near ΔG = -k.
+    """
+    dgp = jax.nn.relu(dg)
+    return 1.78 * dgp / (dgp + k)
+
+
+def beta_to_k(beta: jax.Array) -> jax.Array:
+    """Dose-response map from the cUDE conditional parameter to the symbolic
+    Michaelis constant: k = 167·β³ + 21.8 (``03-symreg.jl:55``)."""
+    return 167.0 * beta**3 + 21.8
+
+
+def symbolic_model() -> CPeptideModel:
+    """A :class:`CPeptideModel` whose production head is the symbolic
+    equation; ``params["k"]`` is the per-individual Michaelis constant."""
+    return CPeptideModel(
+        kind="analytic",
+        analytic_fn=lambda dg, params: symbolic_production(dg, params["k"]),
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5))
+def fit_k_sigma(
+    cohort: Cohort,
+    lbfgs_iters: int = 1000,
+    initial_k: float = 40.0,
+    initial_sigma: float = 1.0,
+    bounds: tuple[float, float] = (0.0, 1000.0),
+    solver_max_steps: int = 256,
+):
+    """Per-individual (k, σ) fit of the symbolic model over a whole cohort.
+
+    Equivalent of the serial loop at ``c-peptide/03-symreg.jl:95-107``
+    (reused for Fujita in ``04-symreg-external.jl:48-56``); the reference's
+    bounds apply to both components of the (k, σ) vector.
+
+    Returns ``(ks[N], sigmas[N], objectives[N])``.
+    """
+    model = symbolic_model()
+    lb, ub = bounds
+
+    def fit_one(ind, data):
+        def loss(x):
+            return sse_sigma(model, {"k": x[0]}, x[1], ind,
+                             cohort.timepoints, data,
+                             max_steps=solver_max_steps)
+
+        x0 = jnp.array([initial_k, initial_sigma], jnp.float32)
+        res = lbfgs_minimize(loss, x0,
+                             lower=jnp.full(2, lb, jnp.float32),
+                             upper=jnp.full(2, ub, jnp.float32),
+                             max_iters=lbfgs_iters)
+        return res.x[0], res.x[1], res.fval
+
+    return jax.vmap(fit_one)(cohort.individuals, cohort.cpeptide)
+
+
+def k_profile_loss(cohort: Cohort, solver_max_steps: int = 256):
+    """Per-individual SSE as a function of k, for likelihood profiling
+    (``03-symreg.jl`` CI analysis).  Returns ``loss(k, i)``-style closure
+    factory usable with :mod:`conditional_ude_tpu.analysis`."""
+    model = symbolic_model()
+
+    def loss(k, ind, data):
+        return sse(model, {"k": k}, ind, cohort.timepoints, data,
+                   max_steps=solver_max_steps)
+
+    return loss

@@ -1,0 +1,117 @@
+"""SAEM engine: analytic recovery on a linear-Gaussian model + cUDE smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conditional_ude_tpu.fit.saem import (
+    SAEMConfig,
+    individual_maps,
+    individual_mles,
+    posterior_chains,
+    run_saem,
+    saem_cude,
+)
+
+
+def _linear_gaussian_setup(rng, n=24, t=6, theta_true=1.5, omega_true=0.6,
+                           sigma_true=0.3):
+    """y_ij ~ N(theta + r_i, sigma), r_i ~ N(0, omega): closed-form MLEs."""
+    r_true = omega_true * rng.standard_normal(n)
+    data = (theta_true + r_true[:, None]
+            + sigma_true * rng.standard_normal((n, t))).astype(np.float32)
+    individuals = jnp.zeros((n,), jnp.float32)  # unused placeholder pytree
+
+    def loglik(theta, sigma, r_i, ind, d):
+        resid = d - (theta + r_i)
+        return (-(d.shape[0] / 2.0) * jnp.log(sigma**2)
+                - jnp.sum(resid**2) / (2.0 * sigma**2))
+
+    return loglik, individuals, jnp.asarray(data), r_true
+
+
+def test_saem_linear_gaussian_recovery(rng):
+    loglik, inds, data, r_true = _linear_gaussian_setup(rng)
+    cfg = SAEMConfig(iterations=120, burnin=40, n_mcmc_steps=5,
+                     pop_update_iters=5, pop_adam_lr=5e-2)
+    res = run_saem(loglik, jnp.asarray(0.0), inds, data,
+                   jax.random.key(0), cfg)
+
+    # fixed effect + per-individual random effects recovered
+    assert abs(float(res.theta) + float(res.eta) - 1.5) < 0.25
+    fitted = np.asarray(res.random_effects) + float(res.eta)
+    rho = np.corrcoef(fitted, r_true)[0, 1]
+    assert rho > 0.8, rho
+    # sigma estimated near truth
+    assert 0.15 < float(abs(res.sigma)) < 0.6
+    # diagnostics populated
+    assert res.nll_trace.shape == (120,)
+    assert np.isfinite(res.nll_trace[-1])
+    assert 0.0 <= float(res.acceptance_trace[-1]) <= 1.0
+
+
+def test_saem_post_hoc_estimators(rng):
+    loglik, inds, data, r_true = _linear_gaussian_setup(rng)
+    theta = jnp.asarray(1.5)
+    sigma = jnp.asarray(0.3)
+    init = jnp.zeros(data.shape[0])
+
+    maps = individual_maps(loglik, theta, sigma, inds, data, init,
+                           eta=jnp.asarray(0.0), omega=jnp.asarray(0.6))
+    mles = individual_mles(loglik, theta, sigma, inds, data, init)
+    assert np.corrcoef(np.asarray(maps), r_true)[0, 1] > 0.9
+    assert np.corrcoef(np.asarray(mles), r_true)[0, 1] > 0.9
+    # MAP shrinks toward the prior mean relative to MLE
+    assert np.mean(np.abs(np.asarray(maps))) <= np.mean(
+        np.abs(np.asarray(mles))) + 1e-6
+
+    chains, acc = posterior_chains(loglik, theta, sigma, inds, data,
+                                   jax.random.key(1), init,
+                                   eta=jnp.asarray(0.0),
+                                   omega=jnp.asarray(0.6), n_steps=400)
+    assert chains.shape == (data.shape[0], 400)
+    post_mean = np.asarray(chains[:, 200:]).mean(axis=1)
+    assert np.corrcoef(post_mean, r_true)[0, 1] > 0.8
+    assert np.all(np.asarray(acc) > 0.01)
+
+
+def test_saem_cude_smoke(rng):
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+
+    n = 4
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    glucose = 5.0 + rng.uniform(0, 5, (n, 5))
+    cpeptide = 0.5 + rng.uniform(0, 1.5, (n, 5))
+    cohort = build_cohort(glucose, tp, cpeptide, rng.uniform(30, 70, n),
+                          np.zeros(n, bool))
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    nn0 = net.init(jax.random.key(2))
+
+    cfg = SAEMConfig(iterations=4, burnin=2, n_mcmc_steps=2,
+                     pop_update_iters=2)
+    res = saem_cude(model, cohort, nn0, jax.random.key(3), cfg)
+    assert res.random_effects.shape == (n,)
+    assert np.isfinite(np.asarray(res.nll_trace)).all()
+    assert np.isfinite(np.asarray(res.theta)).all()
+
+
+def test_saem_symbolic_smoke(rng):
+    from conditional_ude_tpu.fit.saem import saem_symbolic
+    from conditional_ude_tpu.models.cpeptide import build_cohort
+
+    n = 4
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    glucose = 5.0 + rng.uniform(0, 5, (n, 5))
+    cpeptide = 0.5 + rng.uniform(0, 1.5, (n, 5))
+    cohort = build_cohort(glucose, tp, cpeptide, rng.uniform(30, 70, n),
+                          np.zeros(n, bool))
+
+    cfg = SAEMConfig(iterations=4, burnin=2, n_mcmc_steps=2,
+                     pop_update_iters=2, pop_update_lbfgs=True,
+                     update_prior_mean=False)
+    res = saem_symbolic(cohort, 75.0, jax.random.key(4), cfg)
+    assert res.random_effects.shape == (n,)
+    assert np.isfinite(float(res.theta))
+    assert float(res.theta) > 0
