@@ -1,5 +1,12 @@
-"""Analysis: likelihood profiles, confidence intervals, identifiability."""
+"""Analysis: likelihood profiles, confidence intervals, identifiability,
+symbolic regression."""
 
+from conditional_ude_tpu.analysis.symreg import (
+    SymRegConfig,
+    SymRegResult,
+    fit_symbolic,
+    pareto_front,
+)
 from conditional_ude_tpu.analysis.profiles import (
     THRESHOLDS,
     ConfidenceInterval,
@@ -11,6 +18,10 @@ from conditional_ude_tpu.analysis.profiles import (
 )
 
 __all__ = [
+    "SymRegConfig",
+    "SymRegResult",
+    "fit_symbolic",
+    "pareto_front",
     "THRESHOLDS",
     "ConfidenceInterval",
     "Profile",

@@ -36,7 +36,6 @@ import optax
 from jax import lax
 
 from conditional_ude_tpu.models.cpeptide import Cohort, CPeptideModel
-from conditional_ude_tpu.models.symbolic import symbolic_model
 from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
 from conditional_ude_tpu.fit.losses import sse
 
@@ -281,6 +280,9 @@ def saem_cude(
 def symbolic_loglik(timepoints: jax.Array, max_steps: int = 256) -> LogLikFn:
     """Log-likelihood with the log-normal individual map
     kM_i = kM_pop·e^{η_i} (``src/saem-symreg.jl:51-66``)."""
+    # deferred import: models.symbolic itself imports fit.losses
+    from conditional_ude_tpu.models.symbolic import symbolic_model
+
     model = symbolic_model()
 
     def ll(theta, sigma, eta_i, ind, data):

@@ -1,0 +1,164 @@
+"""Experiment 02 — flagship conditional-UDE pipeline
+(reference ``c-peptide/02-conditional.jl``).
+
+1. stratified 70/30 split of the train cohort into fit/validation,
+2. joint cUDE multi-start training (25,000-init screen → 25 restarts),
+3. model selection on the validation individuals (``evaluate_model``),
+4. (β, σ) re-estimation on ALL train and ALL test individuals with the
+   selected NN frozen, bounds = training-β range ±10%, initial β = −1,
+5. per-type MSE, Spearman correlations of β vs clamp indices,
+6. likelihood-profile confidence intervals + identifiability census,
+7. NN dose-response grid export for symbolic regression
+   (the reference's ``data/ohashi_production.csv``).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from common import Timer, load_cohorts, make_parser, per_type_mse, \
+    write_csv, write_metrics
+
+
+def main():
+    args = make_parser(__doc__).parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.analysis import (
+        classify_identifiability,
+        cohort_beta_profiles,
+        find_confidence_intervals,
+    )
+    from conditional_ude_tpu.fit.train import (
+        TrainConfig,
+        evaluate_model,
+        fit_betas_sigma,
+        select_best,
+        train_conditional,
+    )
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+    from conditional_ude_tpu.utils.checkpoint import cached
+    from conditional_ude_tpu.utils.stats import spearman, stratified_split
+
+    train, test, cohort_train, cohort_test = load_cohorts(
+        args.data_dir, args.smoke)
+
+    # 70/30 fit/validation split inside training (02-conditional.jl:19)
+    rng = np.random.default_rng(args.seed)
+    idx_fit, idx_val = stratified_split(rng, train.types, 0.7)
+    fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
+
+    def cohort(split):
+        return build_cohort(split.glucose, split.timepoints, split.cpeptide,
+                            split.ages, split.t2dm)
+
+    cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
+
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+
+    cfg = TrainConfig(initial_guesses=200, selected_initials=4,
+                      adam_iters=25, lbfgs_iters=25) if args.smoke else \
+        TrainConfig()
+
+    def compute():
+        with Timer():
+            res = train_conditional(model, cohort_fit,
+                                    jax.random.key(args.seed), cfg)
+        return {"nn_params": res.nn_params, "betas": res.betas,
+                "objectives": res.objectives}
+
+    art = cached(args.artifacts / "cude_neural_parameters.npz", compute,
+                 retrain=args.retrain,
+                 metadata={"script": "exp02", "width": 4, "depth": 2,
+                           "guesses": cfg.initial_guesses})
+    candidates = jnp.asarray(art["nn_params"])
+    betas_cand = jnp.asarray(art["betas"])
+
+    # model selection on validation (:36-41)
+    val_iters = 50 if args.smoke else 1000
+    objectives = evaluate_model(model, candidates, betas_cand, cohort_val,
+                                lbfgs_iters=val_iters)
+    best = select_best(objectives)
+    nn_best = candidates[best]
+    betas_best = np.asarray(betas_cand[best]).ravel()
+
+    # (β, σ) re-estimation, bounds = training-β range ±10% (:91-106)
+    lb = betas_best.min() - 0.1 * abs(betas_best.min())
+    ub = betas_best.max() + 0.1 * abs(betas_best.max())
+    re_iters = 100 if args.smoke else 1000
+
+    def reestimate(c):
+        return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
+                               bounds=(float(lb), float(ub)),
+                               lbfgs_iters=re_iters)
+
+    b_train, s_train, o_train = map(np.asarray, reestimate(cohort_train))
+    b_test, s_test, o_test = map(np.asarray, reestimate(cohort_test))
+
+    # convert σ-NLL objectives back to SSE (:94,105)
+    n_t = train.timepoints.shape[0]
+    sse_train = (o_train - (n_t / 2) * np.log(s_train**2)) * (2 * s_train**2)
+    sse_test = (o_test - (n_t / 2) * np.log(s_test**2)) * (2 * s_test**2)
+
+    # correlations β vs clamp indices (:237-239)
+    b_all = np.concatenate([b_train, b_test])
+    corr = {
+        "first_phase": spearman(b_all, np.concatenate(
+            [train.first_phase, test.first_phase])),
+        "age": spearman(b_all, np.concatenate([train.ages, test.ages])),
+        "insulin_sensitivity": spearman(b_all, np.concatenate(
+            [train.insulin_sensitivity, test.insulin_sensitivity])),
+    }
+
+    # likelihood-profile CIs + identifiability census (:186-208, 360-424)
+    steps = 200 if args.smoke else 10_000
+    prof = cohort_beta_profiles(model, nn_best, cohort_test,
+                                sigmas=jnp.asarray(s_test),
+                                lower=float(lb) - 1.0, upper=float(ub) + 1.0,
+                                steps=steps)
+    ci = find_confidence_intervals(prof, "cantelli95")
+    census = classify_identifiability(ci)
+    census_counts = {c: int((census == c).sum()) for c in np.unique(census)}
+
+    # dose-response export for symbolic regression (:1080-1112)
+    beta_grid = np.quantile(b_train, np.linspace(0.05, 0.95, 30))
+    dg_grid = np.linspace(0.0, np.ptp(train.glucose, axis=1).max(), 30)
+    bb, gg = np.meshgrid(beta_grid, dg_grid, indexing="ij")
+
+    def production(dg, beta):
+        x1 = jnp.stack([dg, jnp.exp(beta)])
+        x0 = jnp.stack([jnp.zeros_like(dg), jnp.exp(beta)])
+        return net.scalar(nn_best, x1) - net.scalar(nn_best, x0)
+
+    prod = np.asarray(jax.vmap(production)(
+        jnp.asarray(gg.ravel(), jnp.float32),
+        jnp.asarray(bb.ravel(), jnp.float32)))
+    write_csv(args.artifacts / "ohashi_production.csv", [
+        {"Beta": float(b), "Glucose": float(g), "Production": float(p)}
+        for b, g, p in zip(bb.ravel(), gg.ravel(), prod)
+    ])
+
+    write_metrics(args.results / "exp02_metrics.json", {
+        "best_model_index": best,
+        "objective_best": float(art["objectives"][best]),
+        "train_sse_per_type": per_type_mse(train.types, sse_train),
+        "test_sse_per_type": per_type_mse(test.types, sse_test),
+        "train_sse_mean": float(sse_train.mean()),
+        "test_sse_mean": float(sse_test.mean()),
+        "beta_bounds": [float(lb), float(ub)],
+        "spearman": corr,
+        "identifiability_census_test": census_counts,
+    })
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Experiment 06 — SAEM mixed-effects workflow
+(reference ``c-peptide/06-saem.jl``).
+
+1. MLE pre-train of the NN on a 15-subject subset (multi-start),
+2. full SAEM run (180 iterations, 80 burn-in, 25 MCMC steps/iter),
+3. per-individual posterior sampling (3000 MH steps) + MAP + MLE for the
+   whole cohort, per-type MSE, and a dose-response grid export.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from common import Timer, load_cohorts, make_parser, per_type_mse, \
+    write_csv, write_metrics
+
+
+def main():
+    args = make_parser(__doc__).parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.fit.saem import (
+        SAEMConfig,
+        cude_loglik,
+        individual_maps,
+        individual_mles,
+        posterior_chains,
+        saem_cude,
+    )
+    from conditional_ude_tpu.fit.train import TrainConfig, train_conditional
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+    from conditional_ude_tpu.utils.checkpoint import cached
+
+    train, test, cohort_train, cohort_test = load_cohorts(
+        args.data_dir, args.smoke)
+
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    key = jax.random.key(args.seed)
+
+    # -- 1. MLE pre-train on a subset (06-saem.jl:36-68) ---------------------
+    n_pre = 4 if args.smoke else 15
+    rng = np.random.default_rng(args.seed)
+    pre_idx = rng.choice(len(train.ages), size=min(n_pre, len(train.ages)),
+                         replace=False)
+    pre = train.subset(pre_idx)
+    cohort_pre = build_cohort(pre.glucose, pre.timepoints, pre.cpeptide,
+                              pre.ages, pre.t2dm)
+
+    cfg_pre = TrainConfig(initial_guesses=100, selected_initials=2,
+                          adam_iters=20, lbfgs_iters=20, adam_lr=1e-3) \
+        if args.smoke else \
+        TrainConfig(initial_guesses=2500, selected_initials=15,
+                    adam_iters=500, lbfgs_iters=500, adam_lr=1e-3)
+
+    def pretrain():
+        with Timer():
+            res = train_conditional(model, cohort_pre, key, cfg_pre)
+        return {"nn_params": res.nn_params, "objectives": res.objectives}
+
+    art = cached(args.artifacts / "saem_pretrain.npz", pretrain,
+                 retrain=args.retrain)
+    nn0 = jnp.asarray(art["nn_params"][0])
+
+    # -- 2. SAEM (06-saem.jl:76-94) -------------------------------------------
+    cfg_saem = SAEMConfig(iterations=6, burnin=3, n_mcmc_steps=3) \
+        if args.smoke else \
+        SAEMConfig(iterations=180, burnin=80, n_mcmc_steps=25,
+                   initial_mcmc_steps=25)
+    with Timer():
+        res = saem_cude(model, cohort_train, nn0, jax.random.key(1), cfg_saem)
+
+    # -- 3. per-individual posterior / MAP / MLE over train+test --------------
+    glucose = np.concatenate([train.glucose, test.glucose])
+    cpeptide = np.concatenate([train.cpeptide, test.cpeptide])
+    ages = np.concatenate([train.ages, test.ages])
+    types = np.concatenate([train.types, test.types])
+    cohort_all = build_cohort(glucose, train.timepoints, cpeptide, ages,
+                              types == "T2DM")
+
+    ll = cude_loglik(model, cohort_all.timepoints)
+    init = jnp.full((cohort_all.n,), float(res.eta))
+    n_mh = 100 if args.smoke else 3000
+    chains, acc = posterior_chains(
+        ll, res.theta, res.sigma, cohort_all.individuals,
+        cohort_all.cpeptide, jax.random.key(2), init,
+        eta=res.eta, omega=res.omega, n_steps=n_mh)
+    post_mean = np.asarray(chains[:, n_mh // 2:]).mean(axis=1)
+
+    map_iters = 20 if args.smoke else 100
+    maps = np.asarray(individual_maps(
+        ll, res.theta, res.sigma, cohort_all.individuals,
+        cohort_all.cpeptide, init, eta=res.eta, omega=res.omega,
+        max_iters=map_iters))
+    mles = np.asarray(individual_mles(
+        ll, res.theta, res.sigma, cohort_all.individuals,
+        cohort_all.cpeptide, init, max_iters=map_iters))
+
+    # per-type MSE at the MAP estimates (06-saem.jl:137-141)
+    from common import cohort_mse
+    mse_map = cohort_mse(model, res.theta, maps, cohort_all)
+
+    # dose-response grid export (06-saem.jl:256-274)
+    beta_grid = np.quantile(maps, np.linspace(0.05, 0.95, 20))
+    dg_grid = np.linspace(0.0, 10.0, 30)
+    rows = []
+    for b in beta_grid:
+        x1 = jnp.stack([jnp.asarray(dg_grid, jnp.float32),
+                        jnp.full(30, np.exp(b), jnp.float32)], axis=-1)
+        x0 = jnp.stack([jnp.zeros(30, jnp.float32),
+                        jnp.full(30, np.exp(b), jnp.float32)], axis=-1)
+        p = np.asarray(net.scalar(res.theta, x1) - net.scalar(res.theta, x0))
+        rows.extend({"Beta": float(b), "Glucose": float(g),
+                     "Production": float(v)}
+                    for g, v in zip(dg_grid, p))
+    write_csv(args.artifacts / "neural_simulations.csv", rows)
+
+    write_metrics(args.results / "exp06_metrics.json", {
+        "final_nll": float(res.nll_trace[-1]),
+        "final_acceptance": float(res.acceptance_trace[-1]),
+        "sigma": float(res.sigma),
+        "omega": float(res.omega),
+        "eta": float(res.eta),
+        "mse_map_per_type": per_type_mse(types, mse_map),
+        "posterior_acceptance_mean": float(np.mean(np.asarray(acc))),
+        "map_mle_correlation": float(np.corrcoef(maps, mles)[0, 1]),
+        "posterior_map_correlation": float(np.corrcoef(post_mean, maps)[0, 1]),
+    })
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Suppression-model simulated cUDE example with λ-regularization sweep
+(reference ``suppression/suppression.jl``).
+
+Generates synthetic populations from the known 3-state suppression ODE
+(group means p4 ∈ {0.5, 2.5, 5, 7.5, 10, 12.5}), jointly fits NN + per-
+individual θ for each λ ∈ {0, 1e-3, 1e-2, 0.1, 1}, re-fits θ on noisy and
+noise-free validation populations with the NN frozen, and records Spearman
+correlations between θ̂ and the ground-truth p4 per restart — the method's
+synthetic-recovery benchmark.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from common import Timer, make_parser, write_csv, write_metrics
+
+
+def main():
+    p = make_parser(__doc__)
+    p.add_argument("--noise", type=float, default=0.1)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.models.suppression import (
+        SuppressionFitConfig,
+        fit_suppression,
+        generate_data,
+        suppression_net,
+        validate_suppression,
+    )
+    from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    from conditional_ude_tpu.utils.stats import spearman
+
+    rng = np.random.default_rng(27052023)
+    tp = np.linspace(0.0, 30.0, 8)
+    group_means = [0.5, 2.5, 5.0, 7.5, 10.0, 12.5]
+    train_sizes = [15, 3, 3, 3, 3, 10]
+    valid_sizes = [2, 2, 2, 2, 2, 2] if args.smoke else [5, 5, 5, 5, 5, 5]
+    if args.smoke:
+        train_sizes = [3, 1, 1, 1, 1, 2]
+
+    data_train, gt_train = generate_data(group_means, train_sizes, tp,
+                                         noise_multiplicative=args.noise,
+                                         rng=rng)
+    data_valid, gt_valid = generate_data(group_means, valid_sizes, tp,
+                                         noise_multiplicative=args.noise,
+                                         rng=rng)
+    data_nonoise, gt_nonoise = generate_data(group_means, valid_sizes, tp,
+                                             noise_multiplicative=0.0,
+                                             rng=rng)
+
+    net = suppression_net(depth=5, width=3)
+    lambdas = [0.0, 0.1] if args.smoke else [0.0, 0.001, 0.01, 0.1, 1.0]
+    cfg = SuppressionFitConfig(initial_space=50, select_best_n=3,
+                               adam_iters=30, lbfgs_iters=30) \
+        if args.smoke else SuppressionFitConfig()
+
+    n_valid_inits = 50 if args.smoke else 1000
+    theta_inits_valid = jnp.asarray(
+        rng.uniform(size=(n_valid_inits, data_valid.shape[0])), jnp.float32)
+
+    rows, summary = [], {}
+    for lam in lambdas:
+        with Timer():
+            fit = fit_suppression(net, data_train, tp,
+                                  jax.random.key(args.seed), lam=lam,
+                                  config=cfg)
+
+        for r in range(cfg.select_best_n):
+            theta_v, obj_v = validate_suppression(
+                net, fit.nn_params[r], data_valid, tp, theta_inits_valid,
+                lbfgs_iters=cfg.lbfgs_iters)
+            theta_nn, obj_nn = validate_suppression(
+                net, fit.nn_params[r], data_nonoise, tp, theta_inits_valid,
+                lbfgs_iters=cfg.lbfgs_iters)
+            rows.append({
+                "lambda": lam, "restart": r,
+                "correlation_train": spearman(gt_train, fit.thetas[r]),
+                "loss_train": float(fit.objectives[r]),
+                "correlation_valid": spearman(gt_valid, theta_v),
+                "loss_valid": float(obj_v),
+                "correlation_valid_nonoise": spearman(gt_nonoise, theta_nn),
+                "loss_valid_nonoise": float(obj_nn),
+            })
+            print(rows[-1], file=sys.stderr)
+
+        save_checkpoint(args.artifacts / f"suppression_lambda={lam}.npz", {
+            "nn_params": fit.nn_params, "thetas": fit.thetas,
+            "objectives": fit.objectives, "gt_train": gt_train,
+        }, metadata={"lambda": lam, "noise": args.noise})
+        lam_rows = [r for r in rows if r["lambda"] == lam]
+        summary[str(lam)] = {
+            "best_correlation_train": max(r["correlation_train"]
+                                          for r in lam_rows),
+            "best_correlation_valid": max(r["correlation_valid"]
+                                          for r in lam_rows),
+        }
+
+    write_csv(args.results / "suppression_sweep.csv", rows)
+    write_metrics(args.results / "exp_suppression_metrics.json", summary)
+
+
+if __name__ == "__main__":
+    main()

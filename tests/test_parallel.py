@@ -1,0 +1,82 @@
+"""Mesh sharding: construction, padding, sharded training parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conditional_ude_tpu.parallel import (
+    make_mesh,
+    pad_to_multiple,
+    shard_cohort,
+    shard_leading,
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(("restarts",))
+    assert mesh.shape["restarts"] == 8
+    mesh2 = make_mesh(("restarts", "individuals"), (4, 2))
+    assert mesh2.shape == {"restarts": 4, "individuals": 2}
+
+
+def test_pad_to_multiple():
+    x = jnp.arange(10.0).reshape(5, 2)
+    p = pad_to_multiple(x, 4)
+    assert p.shape == (8, 2)
+    np.testing.assert_allclose(p[5:], np.tile(np.asarray(x[4]), (3, 1)))
+    q = pad_to_multiple(x, 5)
+    assert q.shape == (5, 2)
+
+
+def test_sharded_loss_matches_unsharded(rng):
+    from conditional_ude_tpu.fit.losses import population_sse
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+
+    n = 8
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    glucose = 5.0 + rng.uniform(0, 5, (n, 5))
+    cpeptide = 0.5 + rng.uniform(0, 1.5, (n, 5))
+    cohort = build_cohort(glucose, tp, cpeptide, rng.uniform(30, 70, n),
+                          np.zeros(n, bool))
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    nn = net.init(jax.random.key(0))
+    betas = jnp.full((n,), -1.0)
+
+    plain = population_sse(model, nn, betas, cohort)
+
+    mesh = make_mesh(("individuals",))
+    sharded_cohort = shard_cohort(cohort, mesh, "individuals")
+    sharded_betas = shard_leading(betas, mesh, "individuals")
+    sharded = jax.jit(
+        lambda b, c: population_sse(model, nn, b, c))(sharded_betas,
+                                                      sharded_cohort)
+    np.testing.assert_allclose(float(plain), float(sharded), rtol=5e-3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from conditional_ude_tpu.utils.checkpoint import (
+        cached,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    arrays = {"a": np.arange(6.0).reshape(2, 3), "b": np.float32(3.5)}
+    save_checkpoint(tmp_path / "ck.npz", arrays, {"note": "x"})
+    loaded, meta = load_checkpoint(tmp_path / "ck.npz")
+    np.testing.assert_allclose(loaded["a"], arrays["a"])
+    assert meta["note"] == "x"
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return {"v": np.ones(3)}
+
+    r1 = cached(tmp_path / "c.npz", compute)
+    r2 = cached(tmp_path / "c.npz", compute)
+    assert len(calls) == 1
+    np.testing.assert_allclose(r1["v"], r2["v"])
+    cached(tmp_path / "c.npz", compute, retrain=True)
+    assert len(calls) == 2
