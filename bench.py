@@ -71,13 +71,17 @@ def main():
     model = CPeptideModel(kind="conditional", net=net)
 
     key = jax.random.key(0)
-    G = 512  # restart lanes per batched evaluation
+    G = 4096  # restart lanes per batched evaluation
     nn_inits = net.init_batch(key, G)
     betas = jnp.asarray(
         np.random.default_rng(1).uniform(-2, 0, (G, n_ind, 1)), jnp.float32)
 
+    # the production screening path: fixed-step RK4 (substeps=8), whose
+    # trajectories are tighter than the reference's default adaptive
+    # tolerance on this model class (see ops/rk4.py, TrainConfig)
     batched = jax.jit(jax.vmap(
-        lambda nn, b: population_sse(model, nn, b, cohort)))
+        lambda nn, b: population_sse(model, nn, b, cohort,
+                                     solver="rk4", substeps=8)))
 
     # warmup / compile
     out = batched(nn_inits, betas)
@@ -85,7 +89,7 @@ def main():
     finite = int(np.isfinite(np.asarray(out)).sum())
     log(f"warmup done, {finite}/{G} finite lanes")
 
-    reps = 5
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         out = batched(nn_inits, betas)
@@ -100,7 +104,7 @@ def main():
     with jax.default_device(cpu):
         single = jax.jit(lambda nn, b, ind, data: sse(
             model, {"neural": nn, "conditional": b}, ind,
-            cohort.timepoints, data))
+            cohort.timepoints, data, mode="while"))
         ind0 = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
                             cohort.individual(0))
         data0 = jax.device_put(np.asarray(cohort.cpeptide[0]), cpu)

@@ -79,8 +79,10 @@ def cohort_beta_profiles(
     sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (cohort.n,))
 
     def at_beta(beta, ind, data, s):
+        kw = dict(solver="rk4", substeps=8)   # throughput default
+        kw.update(solver_kwargs)
         err = sse(model, {"neural": nn_params, "conditional": beta}, ind,
-                  cohort.timepoints, data, **solver_kwargs)
+                  cohort.timepoints, data, **kw)
         return err / (2.0 * s**2)
 
     profile_chunk = jax.jit(jax.vmap(            # over individuals

@@ -245,13 +245,17 @@ def run_saem(
 # -- cUDE specialization -------------------------------------------------------
 
 def cude_loglik(model: CPeptideModel, timepoints: jax.Array,
+                solver: str = "rk4", substeps: int = 8,
                 max_steps: int = 256) -> LogLikFn:
     """Gaussian log-likelihood of one individual under the conditional UDE
-    (``src/saem.jl:55-66``); −inf on solver failure."""
+    (``src/saem.jl:55-66``); −inf on solver failure.  Defaults to the
+    fixed-step RK4 throughput path (accuracy ≥ the reference's default
+    adaptive tolerance on this model class)."""
 
     def ll(theta, sigma, rand_i, ind, data):
         err = sse(model, {"neural": theta, "conditional": rand_i}, ind,
-                  timepoints, data, max_steps=max_steps)
+                  timepoints, data, solver=solver, substeps=substeps,
+                  max_steps=max_steps)
         n_i = timepoints.shape[0]
         val = (-(n_i / 2.0) * jnp.log(sigma**2)
                - err / (2.0 * sigma**2))
@@ -277,7 +281,8 @@ def saem_cude(
 
 # -- symbolic-model specialization ---------------------------------------------
 
-def symbolic_loglik(timepoints: jax.Array, max_steps: int = 256) -> LogLikFn:
+def symbolic_loglik(timepoints: jax.Array, solver: str = "rk4",
+                    substeps: int = 8, max_steps: int = 256) -> LogLikFn:
     """Log-likelihood with the log-normal individual map
     kM_i = kM_pop·e^{η_i} (``src/saem-symreg.jl:51-66``)."""
     # deferred import: models.symbolic itself imports fit.losses
@@ -287,8 +292,8 @@ def symbolic_loglik(timepoints: jax.Array, max_steps: int = 256) -> LogLikFn:
 
     def ll(theta, sigma, eta_i, ind, data):
         km_i = theta * jnp.exp(eta_i)
-        err = sse(model, {"k": km_i}, ind, timepoints, data,
-                  max_steps=max_steps)
+        err = sse(model, {"k": km_i}, ind, timepoints, data, solver=solver,
+                  substeps=substeps, max_steps=max_steps)
         n_i = timepoints.shape[0]
         val = (-(n_i / 2.0) * jnp.log(sigma**2)
                - err / (2.0 * sigma**2))

@@ -116,8 +116,15 @@ ProductionFn = Callable[[jax.Array, Any, Individual], jax.Array]
 
 
 def _delta_g(t, ind: Individual) -> jax.Array:
+    """ΔG(t) = glucose(t) − glucose(0.0).
+
+    The baseline is the interpolant at absolute time 0, NOT the first knot —
+    the reference's production heads default ``t0 = 0.0``
+    (``src/c-peptide-models.jl:69-75``), which differs for cohorts whose
+    sampling starts before 0 (Fujita starts at −10 min).
+    """
     g = LinearInterp(ind.glucose_t, ind.glucose)
-    return g(t) - ind.glucose[0]
+    return g(t) - g(jnp.zeros_like(t))
 
 
 def analytic_production(fn: Callable[[jax.Array, Any], jax.Array]) -> ProductionFn:
@@ -226,18 +233,20 @@ def simulate(
     atol: float = 1e-6,
     max_steps: int = 256,
     substeps: int = 16,
+    mode: str = "scan",
 ) -> SolveResult:
     """Solve one individual's c-peptide trajectory at ``saveat`` times.
 
     Equivalent of ``solve(model.problem, p=θ, saveat=timepoints)`` at the
     reference's default tolerances (``src/parameter-estimation.jl:59``).
-    Batch with ``jax.vmap`` over params and/or individuals.
+    Batch with ``jax.vmap`` over params and/or individuals.  ``mode="while"``
+    enables batch-level early exit for gradient-free paths.
     """
     saveat = jnp.asarray(saveat, ind.u0.dtype)
     if solver == "tsit5":
         return solve_tsit5(model.rhs, ind.u0, ind.glucose_t[0], saveat[-1],
                            (params, ind), saveat, max_steps=max_steps,
-                           rtol=rtol, atol=atol)
+                           rtol=rtol, atol=atol, mode=mode)
     if solver == "rk4":
         return solve_rk4(model.rhs, ind.u0, (params, ind), saveat,
                          t0=ind.glucose_t[0], substeps=substeps)

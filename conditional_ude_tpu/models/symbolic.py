@@ -51,13 +51,14 @@ def symbolic_model() -> CPeptideModel:
     )
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5))
+@partial(jax.jit, static_argnums=(1, 4, 5, 6))
 def fit_k_sigma(
     cohort: Cohort,
     lbfgs_iters: int = 1000,
     initial_k: float = 40.0,
     initial_sigma: float = 1.0,
     bounds: tuple[float, float] = (0.0, 1000.0),
+    solver: str = "rk4",
     solver_max_steps: int = 256,
 ):
     """Per-individual (k, σ) fit of the symbolic model over a whole cohort.
@@ -74,7 +75,7 @@ def fit_k_sigma(
     def fit_one(ind, data):
         def loss(x):
             return sse_sigma(model, {"k": x[0]}, x[1], ind,
-                             cohort.timepoints, data,
+                             cohort.timepoints, data, solver=solver,
                              max_steps=solver_max_steps)
 
         x0 = jnp.array([initial_k, initial_sigma], jnp.float32)

@@ -130,7 +130,7 @@ def _initial_dt(f, t0, y0, args, f0, rtol, atol, t_span):
     return jnp.where(jnp.isfinite(dt) & (dt > 0), dt, 1e-6 * t_span)
 
 
-@partial(jax.jit, static_argnums=(0, 6))
+@partial(jax.jit, static_argnums=(0, 6, 10))
 def solve_tsit5(
     f: Callable[[jax.Array, jax.Array, Any], jax.Array],
     y0: jax.Array,
@@ -142,12 +142,19 @@ def solve_tsit5(
     rtol: float = 1e-3,
     atol: float = 1e-6,
     dt0: jax.Array | None = None,
+    mode: str = "scan",
 ) -> SolveResult:
     """Integrate ``dy/dt = f(t, y, args)`` from ``t0`` to ``t1``.
 
     ``saveat`` is a static-shape vector of output times in ``[t0, t1]``
     (ascending).  Returns the dense-output solution at those times.  All
     inputs may carry leading batch dims via ``jax.vmap`` of this function.
+
+    ``mode="scan"`` (default) runs a fixed ``max_steps`` bounded scan —
+    reverse-mode differentiable (the training path).  ``mode="while"`` runs
+    a ``lax.while_loop`` that exits as soon as every (vmapped) lane is done
+    — typically 4-8× fewer steps executed for gradient-free workloads
+    (screening, likelihood profiles, MCMC); not reverse-differentiable.
     """
     dtype = y0.dtype
     t0 = jnp.asarray(t0, dtype)
@@ -258,7 +265,14 @@ def solve_tsit5(
             n_tot=s.n_tot + active.astype(jnp.int32),
         ), None
 
-    final, _ = lax.scan(step, init, None, length=max_steps)
+    if mode == "scan":
+        final, _ = lax.scan(step, init, None, length=max_steps)
+    elif mode == "while":
+        final = lax.while_loop(
+            lambda s: ~(s.done | s.failed) & (s.n_tot < max_steps),
+            lambda s: step(s, None)[0], init)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     success = final.done & ~final.failed
     return SolveResult(ys=final.ys, success=success,
                        num_steps=final.n_tot, num_accepted=final.n_acc)

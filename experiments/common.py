@@ -32,11 +32,31 @@ def make_parser(description: str) -> argparse.ArgumentParser:
                    help="tiny iteration counts / subset of subjects for CI")
     p.add_argument("--retrain", action="store_true",
                    help="recompute cached artifacts")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke implies this unless "
+                        "--tpu is passed)")
+    p.add_argument("--tpu", action="store_true",
+                   help="keep the TPU backend even for --smoke runs")
     p.add_argument("--data-dir", type=Path, default=DATA_DIR)
     p.add_argument("--artifacts", type=Path, default=ARTIFACTS)
     p.add_argument("--results", type=Path, default=RESULTS)
     p.add_argument("--seed", type=int, default=270523)
     return p
+
+
+def configure_backend(args) -> None:
+    """Pick the backend BEFORE any jax computation.
+
+    Smoke runs default to CPU: per-compile latency through the axon TPU
+    tunnel (~30-60s) dwarfs the tiny smoke workloads, and the image's
+    sitecustomize forces ``jax_platforms="axon,cpu"`` so the env var alone
+    cannot switch (see tests/conftest.py).
+    """
+    import jax
+
+    if (args.cpu or args.smoke) and not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"[backend] {jax.default_backend()}", file=sys.stderr)
 
 
 def load_cohorts(data_dir: Path, smoke: bool = False, max_smoke: int = 8):

@@ -21,12 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-from common import Timer, load_cohorts, make_parser, per_type_mse, \
+from common import configure_backend,  Timer, load_cohorts, make_parser, per_type_mse, \
     write_csv, write_metrics
 
 
 def main():
     args = make_parser(__doc__).parse_args()
+    configure_backend(args)
 
     import jax
     import jax.numpy as jnp

@@ -14,11 +14,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-from common import Timer, make_parser, write_metrics
+from common import configure_backend,  Timer, make_parser, write_metrics
 
 
 def main():
     args = make_parser(__doc__).parse_args()
+    configure_backend(args)
 
     from conditional_ude_tpu.data.fujita import load_fujita
     from conditional_ude_tpu.models.cpeptide import build_cohort

@@ -18,13 +18,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-from common import Timer, make_parser, write_csv, write_metrics
+from common import configure_backend,  Timer, make_parser, write_csv, write_metrics
 
 
 def main():
     p = make_parser(__doc__)
     p.add_argument("--noise", type=float, default=0.1)
     args = p.parse_args()
+    configure_backend(args)
 
     import jax
     import jax.numpy as jnp
