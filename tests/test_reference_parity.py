@@ -1,0 +1,98 @@
+"""Numerical parity against the reference's cached trained weights.
+
+Uses the JLD2 artifact the reference's published results are generated from
+(``source_data/cude_neural_parameters.jld2``).  Skipped when the reference
+checkout is not mounted.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WEIGHTS = Path("/root/reference/source_data/cude_neural_parameters.jld2")
+CSV_DIR = Path("/root/reference/data/ohashi_csv")
+
+pytestmark = pytest.mark.skipif(
+    not (WEIGHTS.exists() and CSV_DIR.exists()),
+    reason="reference artifacts not mounted")
+
+
+@pytest.fixture(scope="module")
+def reference():
+    from conditional_ude_tpu.data.jld2 import load_reference_cude
+
+    return load_reference_cude(WEIGHTS)
+
+
+def test_weight_conversion_layout(reference):
+    # 37 params for chain(4, 2) with 2 inputs; 25 candidates; 57 fit betas
+    assert reference["parameters"].shape == (25, 37)
+    assert reference["width"] == 4 and reference["depth"] == 2
+    assert len(reference["betas"][reference["best_model_index"]]) == 57
+
+
+def test_reference_weights_fit_test_cohort(reference):
+    """The reference's best NN must fit held-out subjects well through OUR
+    integrator + optimizer — the core cross-implementation parity check."""
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.data.ohashi import load_ohashi
+    from conditional_ude_tpu.fit.train import fit_betas
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+
+    best = reference["best_model_index"]
+    nn = jnp.asarray(reference["parameters"][best])
+    betas_fit = reference["betas"][best]
+
+    _, test = load_ohashi(CSV_DIR)
+    cohort = build_cohort(test.glucose, test.timepoints, test.cpeptide,
+                          test.ages, test.t2dm)
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+
+    lb = betas_fit.min() - 0.1 * abs(betas_fit.min())
+    ub = betas_fit.max() + 0.1 * abs(betas_fit.max())
+    betas, objs = fit_betas(model, nn, cohort, initial_beta=-1.0,
+                            bounds=(float(lb), float(ub)), lbfgs_iters=300)
+    objs = np.asarray(objs)
+    assert np.isfinite(objs).all()
+    # mean per-point MSE across 35 test subjects; a wrong weight layout or
+    # integrator bug blows this up by orders of magnitude (~170 observed)
+    mse = objs.mean() / test.timepoints.shape[0]
+    assert mse < 0.2, mse
+    # refit betas live in the reference's beta range
+    b = np.asarray(betas)
+    assert -2.5 < b.mean() < 0.5
+
+
+def test_solver_agreement_at_reference_solution(reference):
+    """rtol/atol parity: RK4 throughput path vs tight adaptive solve at the
+    reference's weights agree to <1e-2 nmol/L on test trajectories."""
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.data.ohashi import load_ohashi
+    from conditional_ude_tpu.models.cpeptide import (
+        CPeptideModel,
+        build_cohort,
+        simulate_cohort,
+    )
+    from conditional_ude_tpu.nn import chain
+
+    best = reference["best_model_index"]
+    nn = jnp.asarray(reference["parameters"][best])
+    _, test = load_ohashi(CSV_DIR)
+    cohort = build_cohort(test.glucose, test.timepoints, test.cpeptide,
+                          test.ages, test.t2dm)
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    betas = jnp.full((cohort.n, 1), -1.0)
+
+    rk = simulate_cohort(model, nn, betas, cohort, solver="rk4", substeps=8)
+    t5 = simulate_cohort(model, nn, betas, cohort, rtol=1e-6, atol=1e-9,
+                         max_steps=4096)
+    ok = np.asarray(t5.success)
+    assert ok.all()
+    delta = np.abs(np.asarray(rk.ys)[:, :, 0] - np.asarray(t5.ys)[:, :, 0])
+    assert delta.max() < 1e-2, delta.max()
