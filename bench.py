@@ -71,17 +71,26 @@ def main():
     model = CPeptideModel(kind="conditional", net=net)
 
     key = jax.random.key(0)
-    G = 4096  # restart lanes per batched evaluation
+    G = 8192  # restart lanes per batched evaluation
     nn_inits = net.init_batch(key, G)
     betas = jnp.asarray(
-        np.random.default_rng(1).uniform(-2, 0, (G, n_ind, 1)), jnp.float32)
+        np.random.default_rng(1).uniform(-2, 0, (G, n_ind)), jnp.float32)
 
-    # the production screening path: fixed-step RK4 (substeps=8), whose
-    # trajectories are tighter than the reference's default adaptive
-    # tolerance on this model class (see ops/rk4.py, TrainConfig)
-    batched = jax.jit(jax.vmap(
-        lambda nn, b: population_sse(model, nn, b, cohort,
-                                     solver="rk4", substeps=8)))
+    # the production screening path: the fused Pallas RK4+MLP kernel on TPU
+    # (ops/pallas_rk4.py), falling back to the XLA RK4 path elsewhere; both
+    # are tighter than the reference's default adaptive tolerance on this
+    # model class (see ops/rk4.py, TrainConfig)
+    if jax.default_backend() == "tpu":
+        from conditional_ude_tpu.ops.pallas_rk4 import (
+            screen_population_pallas,
+        )
+
+        batched = jax.jit(lambda nn, b: screen_population_pallas(
+            net, nn, b, cohort, substeps=8))
+    else:
+        batched = jax.jit(jax.vmap(
+            lambda nn, b: population_sse(model, nn, b[:, None], cohort,
+                                         solver="rk4", substeps=8)))
 
     # warmup / compile
     out = batched(nn_inits, betas)

@@ -207,6 +207,10 @@ def fit_suppression(
                           objectives=objs[order], loss_traces=traces[order])
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
 def validate_suppression(
     net: MLP,
     nn_params: jax.Array,
@@ -219,7 +223,8 @@ def validate_suppression(
     """θ-only re-fit with frozen NN from the best of random inits
     (reference ``validate_suppression_model``, :179-222).
 
-    Returns (theta[N], objective).
+    Returns (theta[N], objective).  Top-level jitted (net static) so
+    repeated calls across restarts hit the compilation cache.
     """
     data = jnp.asarray(data, jnp.float32)
     tp = jnp.asarray(timepoints, jnp.float32)
@@ -228,12 +233,13 @@ def validate_suppression(
         return suppression_loss(net, nn_params, th, data, tp, 0.0,
                                 max_steps=max_steps)
 
-    losses = jax.jit(jax.vmap(loss))(theta_inits)
+    losses = jax.vmap(loss)(theta_inits)
     best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
     res = lbfgs_minimize(loss, theta_inits[best], max_iters=lbfgs_iters)
     return res.x, res.fval
 
 
+@partial(jax.jit, static_argnums=(0, 5, 6))
 def validate_suppression_sigma(
     net: MLP,
     nn_params: jax.Array,
@@ -263,8 +269,31 @@ def validate_suppression_sigma(
     def init_loss(th):
         return nll(jnp.concatenate([th[None], jnp.ones(3)]))
 
-    losses = jax.jit(jax.vmap(init_loss))(theta_inits)
+    losses = jax.vmap(init_loss)(theta_inits)
     best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
     x0 = jnp.concatenate([theta_inits[best][None], jnp.ones(3)])
     res = lbfgs_minimize(nll, x0, max_iters=lbfgs_iters)
     return res.x, res.fval
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
+def validate_suppression_sigma_batch(
+    net: MLP,
+    nn_params: jax.Array,
+    data: jax.Array,            # [N, 3, T] whole test population
+    timepoints: jax.Array,
+    theta_inits: jax.Array,     # [n_init] shared scalar θ candidates
+    lbfgs_iters: int = 2000,
+    max_steps: int = 512,
+):
+    """Batched per-individual (θ, σ) fits: the reference's serial loop over
+    60 fresh test subjects (``suppression/figures.jl:42-58``) as one vmap.
+
+    Returns (x[N, 4], nll[N])."""
+
+    def one(d):
+        return validate_suppression_sigma(net, nn_params, d, timepoints,
+                                          theta_inits, lbfgs_iters,
+                                          max_steps)
+
+    return jax.vmap(one)(jnp.asarray(data, jnp.float32))

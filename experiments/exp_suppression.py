@@ -105,6 +105,42 @@ def main():
                                           for r in lam_rows),
         }
 
+    # -- test stage (reference suppression/figures.jl:27-97): pick the best
+    # λ=0.01 restart by validation loss, fit fresh test subjects with the
+    # per-individual (θ, σ) estimator, report θ-recovery correlation --------
+    from conditional_ude_tpu.models.suppression import (
+        validate_suppression_sigma_batch,
+    )
+    from conditional_ude_tpu.utils.checkpoint import load_checkpoint
+
+    test_lambda = 0.1 if args.smoke else 0.01
+    if test_lambda not in lambdas:
+        test_lambda = lambdas[-1]
+    ck, _ = load_checkpoint(
+        args.artifacts / f"suppression_lambda={test_lambda}.npz")
+    lam_rows = [r for r in rows if r["lambda"] == test_lambda]
+    best_r = int(np.argmin([r["loss_valid"] for r in lam_rows]))
+    nn_best = jnp.asarray(ck["nn_params"][best_r])
+
+    n_test = 12 if args.smoke else 60
+    per_group = max(1, n_test // len(group_means))
+    data_test, gt_test = generate_data(group_means,
+                                       [per_group] * len(group_means), tp,
+                                       noise_multiplicative=args.noise,
+                                       rng=rng)
+    theta_grid = jnp.asarray(rng.uniform(size=64), jnp.float32)
+    xs, _ = validate_suppression_sigma_batch(
+        net, nn_best, jnp.asarray(data_test), jnp.asarray(tp, jnp.float32),
+        theta_grid, cfg.lbfgs_iters)
+    thetas_test = np.asarray(xs[:, 0])
+    rho_test = spearman(gt_test, thetas_test)
+    print(f"test-stage θ-recovery (λ={test_lambda}): ρ={rho_test:.3f}",
+          file=sys.stderr)
+    summary["test_stage"] = {
+        "lambda": test_lambda, "n_test": int(len(gt_test)),
+        "spearman": rho_test,
+    }
+
     write_csv(args.results / "suppression_sweep.csv", rows)
     write_metrics(args.results / "exp_suppression_metrics.json", summary)
 
