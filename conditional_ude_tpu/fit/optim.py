@@ -23,31 +23,39 @@ class AdamResult(NamedTuple):
     loss_trace: jax.Array  # [iters]
 
 
-@partial(jax.jit, static_argnums=(0, 2))
+@partial(jax.jit, static_argnums=(0, 2, 4))
 def adam_minimize(
     fun: Callable[[Any], jax.Array],
     x0: Any,
     iters: int = 1000,
     lr: float = 1e-2,
+    log_every: int = 0,
 ) -> AdamResult:
     """Run ``iters`` Adam steps on ``fun`` starting from pytree ``x0``.
 
     Non-finite gradients (diverged ODE solves) are zeroed so a bad step
     cannot poison the whole run; the final iterate is returned together with
     the loss trace (the reference records loss-trace callbacks,
-    ``suppression/src/suppression_model.jl:22-31``).
+    ``suppression/src/suppression_model.jl:22-31``).  ``log_every > 0``
+    prints a live loss every that many steps (the reference's ProgressMeter
+    display, ``src/parameter-estimation.jl:223-232``).
     """
     opt = optax.adam(lr)
     state0 = opt.init(x0)
     vg = jax.value_and_grad(fun)
 
-    def step(carry, _):
+    def step(carry, i):
         x, state = carry
         f, g = vg(x)
         g = jax.tree.map(lambda a: jnp.where(jnp.isfinite(a), a, 0.0), g)
         updates, state = opt.update(g, state, x)
         x = optax.apply_updates(x, updates)
+        if log_every > 0:
+            lax.cond(i % log_every == 0,
+                     lambda: jax.debug.print("adam it={i} loss={f:.6f}",
+                                             i=i, f=f),
+                     lambda: None)
         return (x, state), f
 
-    (x, _), trace = lax.scan(step, (x0, state0), None, length=iters)
+    (x, _), trace = lax.scan(step, (x0, state0), jnp.arange(iters))
     return AdamResult(x=x, fval=fun(x), loss_trace=trace)

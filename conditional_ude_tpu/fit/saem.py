@@ -65,6 +65,9 @@ class SAEMConfig:
     pop_update_iters: int = 5
     pop_adam_lr: float = 1e-2
     update_prior_mean: bool = True          # cUDE yes (:205), symbolic no
+    log_every: int = 0                      # >0: live NLL/acceptance prints
+                                            # (the reference's ProgressMeter
+                                            # display, src/saem.jl:219-224)
 
     @property
     def mcmc_steps_max(self) -> int:
@@ -219,6 +222,16 @@ def run_saem(
         proposal_std = jnp.where(
             it <= cfg.burnin, s.proposal_std,
             jnp.clip(jnp.exp(log_std), *cfg.proposal_bounds))
+
+        if cfg.log_every > 0:
+            jax.lax.cond(
+                it % cfg.log_every == 0,
+                lambda: jax.debug.print(
+                    "SAEM it={it}  nll={nll:.4f}  acc={acc:.3f}  "
+                    "sigma={sig:.4f}  omega={om:.4f}",
+                    it=it, nll=-ll_total, acc=acc_rate, sig=sigma,
+                    om=omega),
+                lambda: None)
 
         out = (-ll_total, acc_rate, proposal_std)
         return _S(rand=rand, theta=theta, sigma=sigma, omega=omega,
