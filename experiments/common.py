@@ -56,6 +56,10 @@ def configure_backend(args) -> None:
 
     if (args.cpu or args.smoke) and not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.smoke:
+        # keep smoke outputs away from full-run results/artifacts
+        args.results = args.results / "smoke"
+        args.artifacts = args.artifacts / "smoke"
     print(f"[backend] {jax.default_backend()}", file=sys.stderr)
 
 

@@ -148,8 +148,32 @@ def main():
         for b, g, p in zip(bb.ravel(), gg.ravel(), prod)
     ])
 
+    # UDE-vs-cUDE comparison (02-conditional.jl:716-795): per-individual
+    # test errors of the non-conditional baseline (exp01 artifact) vs the
+    # conditional model
+    ude_vs_cude = None
+    ude_path = args.artifacts / "ude_neural_parameters.npz"
+    if ude_path.exists():
+        from conditional_ude_tpu.models.cpeptide import simulate_cohort
+
+        ude_net = chain(4, 2, "tanh", input_dims=1)
+        ude_model = CPeptideModel(kind="ude", net=ude_net)
+        ude_nn = jnp.asarray(np.load(ude_path)["nn_params"][0])
+        res_u = simulate_cohort(ude_model, ude_nn,
+                                jnp.zeros((cohort_test.n, 0), jnp.float32),
+                                cohort_test)
+        mse_ude = np.mean((np.asarray(res_u.ys[:, :, 0])
+                           - test.cpeptide) ** 2, axis=1)
+        mse_cude = sse_test / n_t
+        ude_vs_cude = {
+            "test_mse_ude_mean": float(mse_ude.mean()),
+            "test_mse_cude_mean": float(mse_cude.mean()),
+            "cude_better_fraction": float((mse_cude < mse_ude).mean()),
+        }
+
     write_metrics(args.results / "exp02_metrics.json", {
         "best_model_index": best,
+        "ude_vs_cude": ude_vs_cude,
         "objective_best": float(art["objectives"][best]),
         "train_sse_per_type": per_type_mse(train.types, sse_train),
         "test_sse_per_type": per_type_mse(test.types, sse_test),
