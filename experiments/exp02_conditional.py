@@ -148,6 +148,66 @@ def main():
         for b, g, p in zip(bb.ravel(), gg.ravel(), prod)
     ])
 
+    # β-distribution sampled simulations (02-conditional.jl:592-658):
+    # per type, bootstrap 500 β's from the fitted β's and simulate the
+    # type-average individual on a dense grid; save the band figure
+    from conditional_ude_tpu.models.cpeptide import build_individual, simulate
+    from conditional_ude_tpu.utils import figures
+
+    types_all_arr = np.concatenate([train.types, test.types])
+    glucose_all = np.concatenate([train.glucose, test.glucose])
+    cpeptide_all = np.concatenate([train.cpeptide, test.cpeptide])
+    ages_all = np.concatenate([train.ages, test.ages])
+    dense_t = np.arange(train.timepoints[0], train.timepoints[-1] + 0.1, 2.0)
+    n_samples = 50 if args.smoke else 500
+    band_stats = {}
+    plt_fig = None
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt_fig, axes = plt.subplots(1, 3, figsize=(9, 2.8), sharey=True)
+    except Exception:
+        axes = [None] * 3
+    for ax, t in zip(axes, ("NGT", "IGT", "T2DM")):
+        sel = types_all_arr == t
+        if not sel.any():
+            continue
+        avg_ind = build_individual(glucose_all[sel].mean(axis=0),
+                                   train.timepoints,
+                                   float(ages_all[sel].mean()),
+                                   float(cpeptide_all[sel, 0].mean()),
+                                   t == "T2DM")
+        pool = b_all[sel]
+        sampled = rng.choice(pool, size=n_samples, replace=True)
+
+        def sim_one(beta):
+            return simulate(model, {"neural": nn_best, "conditional": beta},
+                            avg_ind, jnp.asarray(dense_t, jnp.float32),
+                            solver="rk4", substeps=4).ys[:, 0]
+
+        sols = np.asarray(jax.vmap(sim_one)(jnp.asarray(sampled,
+                                                        jnp.float32)))
+        band_stats[t] = {
+            "mean_final": float(sols.mean(axis=0)[-1]),
+            "p05_final": float(np.quantile(sols[:, -1], 0.05)),
+            "p95_final": float(np.quantile(sols[:, -1], 0.95)),
+        }
+        if ax is not None:
+            ax.fill_between(dense_t, np.quantile(sols, 0.05, axis=0),
+                            np.quantile(sols, 0.95, axis=0),
+                            color=figures.COLORS[t], alpha=0.25)
+            ax.plot(dense_t, sols.mean(axis=0), color=figures.COLORS[t])
+            ax.errorbar(train.timepoints, cpeptide_all[sel].mean(axis=0),
+                        yerr=cpeptide_all[sel].std(axis=0), fmt="ko",
+                        ms=3, lw=0.8)
+            ax.set_title(t, fontsize=9)
+    if plt_fig is not None:
+        figures.save(plt_fig, args.results / "figures" /
+                     "sampled_simulations.png")
+
     # UDE-vs-cUDE comparison (02-conditional.jl:716-795): per-individual
     # test errors of the non-conditional baseline (exp01 artifact) vs the
     # conditional model
@@ -174,6 +234,7 @@ def main():
     write_metrics(args.results / "exp02_metrics.json", {
         "best_model_index": best,
         "ude_vs_cude": ude_vs_cude,
+        "sampled_simulation_bands": band_stats,
         "objective_best": float(art["objectives"][best]),
         "train_sse_per_type": per_type_mse(train.types, sse_train),
         "test_sse_per_type": per_type_mse(test.types, sse_test),
