@@ -234,6 +234,7 @@ def simulate(
     max_steps: int = 256,
     substeps: int = 16,
     mode: str = "scan",
+    remat: bool = False,
 ) -> SolveResult:
     """Solve one individual's c-peptide trajectory at ``saveat`` times.
 
@@ -246,10 +247,10 @@ def simulate(
     if solver == "tsit5":
         return solve_tsit5(model.rhs, ind.u0, ind.glucose_t[0], saveat[-1],
                            (params, ind), saveat, max_steps=max_steps,
-                           rtol=rtol, atol=atol, mode=mode)
+                           rtol=rtol, atol=atol, mode=mode, remat=remat)
     if solver == "rk4":
         return solve_rk4(model.rhs, ind.u0, (params, ind), saveat,
-                         t0=ind.glucose_t[0], substeps=substeps)
+                         t0=ind.glucose_t[0], substeps=substeps, remat=remat)
     raise ValueError(f"unknown solver {solver!r}")
 
 

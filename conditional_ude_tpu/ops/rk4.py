@@ -20,7 +20,7 @@ from jax import lax
 from conditional_ude_tpu.ops.tsit5 import SolveResult
 
 
-@partial(jax.jit, static_argnums=(0, 5))
+@partial(jax.jit, static_argnums=(0, 5, 6))
 def solve_rk4(
     f: Callable[[jax.Array, jax.Array, Any], jax.Array],
     y0: jax.Array,
@@ -28,12 +28,18 @@ def solve_rk4(
     saveat: jax.Array,
     t0: jax.Array | None = None,
     substeps: int = 16,
+    remat: bool = False,
 ) -> SolveResult:
     """Integrate with ``substeps`` RK4 steps between consecutive save times.
 
     ``saveat[0]`` may equal ``t0``; integration starts at ``t0`` (defaults to
     ``saveat[0]``).  Returns the state at each save time.  Failure is flagged
     when the state goes non-finite.
+
+    ``remat=True`` wraps each save segment in ``jax.checkpoint``: the
+    reverse pass rematerializes stage intermediates instead of storing them
+    — the checkpointed discrete adjoint, worth it when lanes × steps ×
+    stages no longer fits comfortably in HBM.
     """
     dtype = y0.dtype
     saveat = jnp.asarray(saveat, dtype)
@@ -58,6 +64,9 @@ def solve_rk4(
 
         y = lax.fori_loop(0, substeps, sub, y)
         return y, y
+
+    if remat:
+        segment = jax.checkpoint(segment)
 
     y_final, ys = lax.scan(segment, y0, (seg_t0, seg_dt))
     success = jnp.isfinite(ys).all()

@@ -130,7 +130,7 @@ def _initial_dt(f, t0, y0, args, f0, rtol, atol, t_span):
     return jnp.where(jnp.isfinite(dt) & (dt > 0), dt, 1e-6 * t_span)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 10))
+@partial(jax.jit, static_argnums=(0, 6, 10, 11))
 def solve_tsit5(
     f: Callable[[jax.Array, jax.Array, Any], jax.Array],
     y0: jax.Array,
@@ -143,6 +143,7 @@ def solve_tsit5(
     atol: float = 1e-6,
     dt0: jax.Array | None = None,
     mode: str = "scan",
+    remat: bool = False,
 ) -> SolveResult:
     """Integrate ``dy/dt = f(t, y, args)`` from ``t0`` to ``t1``.
 
@@ -266,7 +267,11 @@ def solve_tsit5(
         ), None
 
     if mode == "scan":
-        final, _ = lax.scan(step, init, None, length=max_steps)
+        # remat=True gives the checkpointed discrete adjoint: the backward
+        # pass recomputes per-step stage values instead of storing
+        # max_steps × 7 stages of activations
+        body = jax.checkpoint(step) if remat else step
+        final, _ = lax.scan(body, init, None, length=max_steps)
     elif mode == "while":
         final = lax.while_loop(
             lambda s: ~(s.done | s.failed) & (s.n_tot < max_steps),
