@@ -131,6 +131,15 @@ def lbfgs_minimize(
         d = jnp.where(descent, d, -s.g)
         gd = jnp.where(descent, gd, -jnp.dot(s.g, s.g))
 
+        # first iteration (no curvature history): scale the steepest-descent
+        # step to unit sup-norm so a steep gradient cannot overshoot across
+        # the whole feasible region in one jump (Nocedal-Wright's 1/||g||
+        # initial scaling; Optim.jl's alphaguess serves the same purpose)
+        have_hist = s.valid.any()
+        scale0 = 1.0 / jnp.maximum(1.0, jnp.max(jnp.abs(d)))
+        d = jnp.where(have_hist, d, d * scale0)
+        gd = jnp.where(have_hist, gd, gd * scale0)
+
         # weak-Wolfe line search by Lewis-Overton bisection: Armijo on f plus
         # the curvature condition g(x+αd)ᵀd ≥ c2·gᵀd, which guarantees the
         # stored pair has sᵀy > 0 (plain backtracking does not, and skipped
@@ -161,7 +170,13 @@ def lbfgs_minimize(
             xt = _project(s.x + c.alpha * d, lower, upper)
             ft, gt = vg(xt)
             gt = jnp.where(jnp.isfinite(gt), gt, 0.0)
-            armijo = jnp.isfinite(ft) & (ft <= s.f + c1 * c.alpha * gd)
+            # Armijo on the ACTUAL (projected) displacement — with box
+            # clipping the nominal step α·d overstates the move, and the
+            # unprojected model can "accept" a jump across a valley onto
+            # the far bound
+            decrease_model = jnp.minimum(jnp.dot(s.g, xt - s.x),
+                                         -jnp.asarray(1e-30, dtype))
+            armijo = jnp.isfinite(ft) & (ft <= s.f + c1 * decrease_model)
             curv = jnp.dot(gt, d) >= c2 * gd
             ok = armijo & curv
             hi = jnp.where(armijo, c.hi, c.alpha)

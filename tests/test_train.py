@@ -1,0 +1,90 @@
+"""Multi-start training engine: conditional pipeline on a synthetic cohort
+with known ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conditional_ude_tpu.fit.train import (
+    TrainConfig,
+    evaluate_model,
+    fit_betas,
+    fit_betas_sigma,
+    select_best,
+    train_conditional,
+)
+from conditional_ude_tpu.models.cpeptide import (
+    CPeptideModel,
+    build_cohort,
+    simulate_cohort,
+)
+from conditional_ude_tpu.nn import chain
+
+
+def _synthetic_conditional_cohort(rng, n=10):
+    """Simulate data from a cUDE with known NN + betas, then return the
+    cohort and ground truth."""
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    nn_true = net.init(jax.random.key(42)) * 1.5
+    betas_true = np.linspace(-1.8, -0.2, n).astype(np.float32)
+
+    glucose = 5.0 + np.abs(rng.uniform(0, 5, (n, 5)))
+    ages = rng.uniform(30, 70, n)
+    placeholder = np.full((n, 5), 0.8, np.float32)
+    c0 = build_cohort(glucose, tp, placeholder, ages, np.zeros(n, bool))
+    res = simulate_cohort(model, nn_true, jnp.asarray(betas_true)[:, None],
+                          c0)
+    assert bool(res.success.all())
+    data = np.asarray(res.ys[:, :, 0])
+    cohort = build_cohort(glucose, tp, data, ages, np.zeros(n, bool))
+    return model, net, cohort, nn_true, betas_true
+
+
+def test_train_conditional_recovers_fit(rng):
+    model, net, cohort, nn_true, betas_true = \
+        _synthetic_conditional_cohort(rng)
+    cfg = TrainConfig(initial_guesses=256, selected_initials=3,
+                      adam_iters=300, lbfgs_iters=300, screen_chunk=256)
+    res = train_conditional(model, cohort, jax.random.key(0), cfg)
+
+    # a small multi-start budget won't recover the exact NN (many weight
+    # settings fit equally); require a good fit of the noise-free data
+    # relative to its variance
+    var = float(np.var(np.asarray(cohort.cpeptide)))
+    assert float(res.objectives[0]) < 0.1 * var * 5, \
+        (float(res.objectives[0]), var)
+    # NOTE: no β-vs-ground-truth assertion here — a freely trained NN can
+    # encode individuals differently when the generating NN is only weakly
+    # β-sensitive; β recovery is asserted exactly in
+    # test_fit_betas_recovers_conditionals (true NN) and end-to-end in
+    # test_suppression_recovery.py (strongly β-sensitive dynamics)
+    assert np.isfinite(np.asarray(res.betas[0])).all()
+    assert res.loss_traces.shape == (3, 300)
+
+
+def test_fit_betas_recovers_conditionals(rng):
+    model, net, cohort, nn_true, betas_true = \
+        _synthetic_conditional_cohort(rng)
+    betas, objs = fit_betas(model, nn_true, cohort, initial_beta=-1.0,
+                            bounds=(-4.0, 1.0), lbfgs_iters=300)
+    # with the true NN every subject fits to the solver-tolerance floor
+    # (data generated with Tsit5 @ rtol 1e-3, refit with RK4: ~4e-3 SSE)
+    assert np.all(np.asarray(objs) < 5e-3), np.asarray(objs)
+    np.testing.assert_allclose(np.asarray(betas), betas_true, atol=0.05)
+
+    b2, s2, o2 = fit_betas_sigma(model, nn_true, cohort, initial_beta=-1.0,
+                                 bounds=(-4.0, 1.0), lbfgs_iters=300)
+    np.testing.assert_allclose(np.asarray(b2), betas_true, atol=0.1)
+
+
+def test_evaluate_model_prefers_true_weights(rng):
+    model, net, cohort, nn_true, betas_true = \
+        _synthetic_conditional_cohort(rng)
+    # candidate 0 = true weights, candidate 1 = random weights
+    candidates = jnp.stack([nn_true, net.init(jax.random.key(7))])
+    betas_train = jnp.tile(jnp.asarray(betas_true)[None, :, None], (2, 1, 1))
+    objs = evaluate_model(model, candidates, betas_train, cohort,
+                          lbfgs_iters=200)
+    assert select_best(np.asarray(objs)) == 0
