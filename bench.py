@@ -92,9 +92,18 @@ def main():
             lambda nn, b: population_sse(model, nn, b[:, None], cohort,
                                          solver="rk4", substeps=8)))
 
-    # warmup / compile
-    out = batched(nn_inits, betas)
-    jax.block_until_ready(out)
+    # warmup / compile (one retry: the axon TPU worker occasionally needs a
+    # restart after a previous heavy process)
+    for attempt in range(2):
+        try:
+            out = batched(nn_inits, betas)
+            jax.block_until_ready(out)
+            break
+        except Exception as e:           # noqa: BLE001
+            log(f"warmup attempt {attempt} failed: {e}")
+            if attempt == 1:
+                raise
+            time.sleep(20)
     finite = int(np.isfinite(np.asarray(out)).sum())
     log(f"warmup done, {finite}/{G} finite lanes")
 

@@ -104,21 +104,36 @@ def make_ude_rhs(net: MLP):
 
 
 def simulate_population(net, nn_params, thetas, u0s, timepoints,
-                        max_steps: int = 512):
+                        max_steps: int = 512, solver: str = "rk4",
+                        substeps: int = 8):
     """Batched UDE solve from per-individual initial states (the reference's
-    EnsembleProblem, :97-115). Returns ys[N, T, 3] and success[N]."""
+    EnsembleProblem, :97-115). Returns ys[N, T, 3] and success[N].
+
+    Defaults to fixed-step RK4 (substeps=8: max trajectory error ~1e-3 on
+    states of magnitude 10, comparable to the adaptive default tolerance)
+    — the throughput/training path; pass ``solver="tsit5"`` for the
+    adaptive parity path.
+    """
     rhs = make_ude_rhs(net)
     tp = jnp.asarray(timepoints, jnp.float32)
 
-    def one(theta, u0):
-        return solve_tsit5(rhs, u0, tp[0], tp[-1], (nn_params, theta), tp,
-                           max_steps=max_steps)
+    if solver == "rk4":
+        from conditional_ude_tpu.ops.rk4 import solve_rk4
+
+        def one(theta, u0):
+            return solve_rk4(rhs, u0, (nn_params, theta), tp, t0=tp[0],
+                             substeps=substeps)
+    else:
+        def one(theta, u0):
+            return solve_tsit5(rhs, u0, tp[0], tp[-1], (nn_params, theta),
+                               tp, max_steps=max_steps)
 
     return jax.vmap(one)(thetas, u0s)
 
 
 def suppression_loss(net, nn_params, thetas, data, timepoints,
-                     lam: float = 0.0, max_steps: int = 512):
+                     lam: float = 0.0, max_steps: int = 512,
+                     solver: str = "rk4", substeps: int = 8):
     """Scale-normalized population SSE / N + λ‖NN‖² (reference :117-130).
 
     ``data[N, 3, T]``; initial conditions are the first sample of each
@@ -126,7 +141,8 @@ def suppression_loss(net, nn_params, thetas, data, timepoints,
     """
     u0s = data[:, :, 0]
     res = simulate_population(net, nn_params, thetas, u0s, timepoints,
-                              max_steps=max_steps)
+                              max_steps=max_steps, solver=solver,
+                              substeps=substeps)
     sims = jnp.swapaxes(res.ys, 1, 2)               # [N, 3, T]
     # scale[3]: mean over individuals of per-state max over time (ref :126)
     scale = jnp.mean(jnp.max(data, axis=2), axis=0)
@@ -256,10 +272,12 @@ def validate_suppression_sigma(
     rhs = make_ude_rhs(net)
     n_t = data_one.shape[1]
 
+    from conditional_ude_tpu.ops.rk4 import solve_rk4
+
     def nll(x):
         theta, sigmas = x[0], x[1:]
-        res = solve_tsit5(rhs, data_one[:, 0], tp[0], tp[-1],
-                          (nn_params, theta), tp, max_steps=max_steps)
+        res = solve_rk4(rhs, data_one[:, 0], (nn_params, theta), tp,
+                        t0=tp[0], substeps=8)
         sims = res.ys.T                                  # [3, T]
         err = jnp.sum((sims - data_one) ** 2, axis=1)    # per state
         val = jnp.sum((n_t / 2.0) * jnp.log(sigmas**2)
