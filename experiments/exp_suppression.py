@@ -24,6 +24,10 @@ from common import configure_backend,  Timer, make_parser, write_csv, write_metr
 def main():
     p = make_parser(__doc__)
     p.add_argument("--noise", type=float, default=0.1)
+    p.add_argument("--lambdas", type=float, nargs="*", default=None,
+                   help="subset of regularization levels (one process per "
+                        "λ sidesteps a cumulative axon-worker fault)")
+    p.add_argument("--no-test-stage", action="store_true")
     args = p.parse_args()
     configure_backend(args)
 
@@ -60,6 +64,8 @@ def main():
 
     net = suppression_net(depth=5, width=3)
     lambdas = [0.0, 0.1] if args.smoke else [0.0, 0.001, 0.01, 0.1, 1.0]
+    if args.lambdas is not None:
+        lambdas = list(args.lambdas)
     cfg = SuppressionFitConfig(initial_space=50, select_best_n=3,
                                adam_iters=30, lbfgs_iters=30) \
         if args.smoke else SuppressionFitConfig()
@@ -104,6 +110,15 @@ def main():
             "best_correlation_valid": max(r["correlation_valid"]
                                           for r in lam_rows),
         }
+
+    # per-λ partial outputs so a λ-subset process contributes incrementally
+    tag = ("" if args.lambdas is None
+           else "_" + "_".join(str(l) for l in lambdas))
+    write_csv(args.results / f"suppression_sweep{tag}.csv", rows)
+    if args.no_test_stage:
+        write_metrics(args.results / f"exp_suppression_metrics{tag}.json",
+                      summary)
+        return
 
     # -- test stage (reference suppression/figures.jl:27-97): pick the best
     # λ=0.01 restart by validation loss, fit fresh test subjects with the

@@ -46,10 +46,13 @@ def main():
     y = np.array([float(r["Production"]) for r in rows], np.float32)
     print(f"{len(y)} samples", file=sys.stderr)
 
+    # the reference's winning equation (1.78·ΔG/(ΔG + 21.8 + 167β³)) needs
+    # a parse-tree depth of ~6, so the full search uses depth-5 complete
+    # trees (63 nodes; complexity cap well above PySR's maxsize=18)
     cfg = SymRegConfig(depth=2, population=256, generations=15,
                        const_opt_steps=10) if args.smoke else \
-        SymRegConfig(depth=3, population=4096, generations=200,
-                     const_opt_steps=60, elite=64)
+        SymRegConfig(depth=5, population=8192, generations=300,
+                     const_opt_steps=80, elite=96, parsimony=3e-5)
 
     with Timer():
         res = fit_symbolic(jnp.asarray(x), jnp.asarray(y),
