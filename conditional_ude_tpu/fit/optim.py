@@ -21,6 +21,7 @@ class AdamResult(NamedTuple):
     x: Any
     fval: jax.Array
     loss_trace: jax.Array  # [iters]
+    opt_state: Any = None  # pass back in to resume (chunked dispatch)
 
 
 @partial(jax.jit, static_argnums=(0, 2, 4))
@@ -30,6 +31,7 @@ def adam_minimize(
     iters: int = 1000,
     lr: float = 1e-2,
     log_every: int = 0,
+    opt_state: Any = None,
 ) -> AdamResult:
     """Run ``iters`` Adam steps on ``fun`` starting from pytree ``x0``.
 
@@ -41,7 +43,7 @@ def adam_minimize(
     display, ``src/parameter-estimation.jl:223-232``).
     """
     opt = optax.adam(lr)
-    state0 = opt.init(x0)
+    state0 = opt.init(x0) if opt_state is None else opt_state
     vg = jax.value_and_grad(fun)
 
     def step(carry, i):
@@ -57,5 +59,5 @@ def adam_minimize(
                      lambda: None)
         return (x, state), f
 
-    (x, _), trace = lax.scan(step, (x0, state0), jnp.arange(iters))
-    return AdamResult(x=x, fval=fun(x), loss_trace=trace)
+    (x, state), trace = lax.scan(step, (x0, state0), jnp.arange(iters))
+    return AdamResult(x=x, fval=fun(x), loss_trace=trace, opt_state=state)

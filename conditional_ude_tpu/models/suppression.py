@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from conditional_ude_tpu.nn import MLP, chain
 from conditional_ude_tpu.fit.optim import adam_minimize
@@ -164,6 +165,11 @@ class SuppressionFitConfig:
     adam_lr: float = 1e-3   # Optimisers.Adam() default
     max_steps: int = 512
     screen_chunk: int = 512
+    # long single XLA programs through the axon tunnel can get the worker
+    # killed; the refinement runs as a sequence of bounded-runtime
+    # dispatches (Adam state threads through, L-BFGS restarts its history
+    # each chunk — a standard safe practice)
+    dispatch_chunk: int = 250
 
 
 class SuppressionFit(NamedTuple):
@@ -206,20 +212,46 @@ def fit_suppression(
     top = top[: cfg.select_best_n]
 
     p_nn = nn_inits.shape[-1]
+    chunk = max(1, min(cfg.dispatch_chunk, cfg.adam_iters))
 
-    def refine(nn, th):
+    # -- Adam stage: bounded-runtime dispatches, optimizer state threaded --
+    def adam_chunk(nn, th, state):
         res = adam_minimize(lambda p: loss(p["nn"], p["th"]),
                             {"nn": nn, "th": th},
-                            iters=cfg.adam_iters, lr=cfg.adam_lr)
-        x0 = jnp.concatenate([res.x["nn"], res.x["th"]])
-        res2 = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:]), x0,
-                              max_iters=cfg.lbfgs_iters)
-        return res2.x[:p_nn], res2.x[p_nn:], res2.fval, res.loss_trace
+                            iters=chunk, lr=cfg.adam_lr, opt_state=state)
+        return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
 
-    nn_f, th_f, objs, traces = jax.jit(jax.vmap(refine))(
-        nn_inits[top], theta_inits[top])
+    nn_c, th_c = nn_inits[top], theta_inits[top]
+    run_adam = jax.jit(jax.vmap(adam_chunk))
+    state = jax.vmap(
+        lambda nn, th: optax.adam(cfg.adam_lr).init({"nn": nn, "th": th})
+    )(nn_c, th_c)
+    traces = []
+    done = 0
+    while done < cfg.adam_iters:
+        nn_c, th_c, state, tr = run_adam(nn_c, th_c, state)
+        jax.block_until_ready(th_c)
+        traces.append(tr)
+        done += chunk
+    traces = jnp.concatenate(traces, axis=1)[:, : cfg.adam_iters]
+
+    # -- L-BFGS stage: chunked with history restarts ------------------------
+    def lbfgs_chunk(nn, th):
+        x0 = jnp.concatenate([nn, th])
+        res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:]), x0,
+                             max_iters=chunk)
+        return res.x[:p_nn], res.x[p_nn:], res.fval
+
+    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk))
+    objs = None
+    done = 0
+    while done < cfg.lbfgs_iters:
+        nn_c, th_c, objs = run_lbfgs(nn_c, th_c)
+        jax.block_until_ready(objs)
+        done += chunk
+
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
-    return SuppressionFit(nn_params=nn_f[order], thetas=th_f[order],
+    return SuppressionFit(nn_params=nn_c[order], thetas=th_c[order],
                           objectives=objs[order], loss_traces=traces[order])
 
 
