@@ -258,7 +258,25 @@ def fit_suppression(
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
+@partial(jax.jit, static_argnums=(0,))
+def _validate_best_init(net, nn_params, data, tp, theta_inits):
+    def loss(th):
+        return suppression_loss(net, nn_params, th, data, tp, 0.0)
+
+    losses = jax.vmap(loss)(theta_inits)
+    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    return theta_inits[best]
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _validate_lbfgs_chunk(net, nn_params, theta, data, tp, iters):
+    def loss(th):
+        return suppression_loss(net, nn_params, th, data, tp, 0.0)
+
+    res = lbfgs_minimize(loss, theta, max_iters=iters)
+    return res.x, res.fval
+
+
 def validate_suppression(
     net: MLP,
     nn_params: jax.Array,
@@ -266,25 +284,41 @@ def validate_suppression(
     timepoints: jax.Array,
     theta_inits: jax.Array,      # [n_init, N] candidate θ vectors
     lbfgs_iters: int = 2000,
-    max_steps: int = 512,
+    chunk: int = 250,
 ):
     """θ-only re-fit with frozen NN from the best of random inits
     (reference ``validate_suppression_model``, :179-222).
 
-    Returns (theta[N], objective).  Top-level jitted (net static) so
-    repeated calls across restarts hit the compilation cache.
+    Returns (theta[N], objective).  The L-BFGS runs as bounded-runtime
+    chunks (history restarts) — long single dispatches can trip the axon
+    worker watchdog.  ``nn_params`` may carry a leading restart axis
+    ([R, P]): the whole restart population validates in one batched pass.
     """
     data = jnp.asarray(data, jnp.float32)
     tp = jnp.asarray(timepoints, jnp.float32)
+    chunk = max(1, min(chunk, lbfgs_iters))
 
-    def loss(th):
-        return suppression_loss(net, nn_params, th, data, tp, 0.0,
-                                max_steps=max_steps)
+    batched = nn_params.ndim == 2
+    if batched:
+        best = jax.jit(jax.vmap(
+            lambda nn: _validate_best_init(net, nn, data, tp, theta_inits)))(
+            nn_params)
+        step = jax.jit(jax.vmap(
+            lambda nn, th: _validate_lbfgs_chunk(net, nn, th, data, tp,
+                                                 chunk),
+        ), static_argnums=())
+    else:
+        best = _validate_best_init(net, nn_params, data, tp, theta_inits)
+        step = lambda nn, th: _validate_lbfgs_chunk(net, nn, th, data, tp,  # noqa: E731
+                                                    chunk)
 
-    losses = jax.vmap(loss)(theta_inits)
-    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
-    res = lbfgs_minimize(loss, theta_inits[best], max_iters=lbfgs_iters)
-    return res.x, res.fval
+    theta, obj = best, None
+    done = 0
+    while done < lbfgs_iters:
+        theta, obj = step(nn_params, theta)
+        jax.block_until_ready(obj)
+        done += chunk
+    return theta, obj
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6))

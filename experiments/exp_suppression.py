@@ -81,21 +81,24 @@ def main():
                                   jax.random.key(args.seed), lam=lam,
                                   config=cfg)
 
+        # validate the whole restart population at once (batched over the
+        # leading axis; the reference loops restarts serially)
+        theta_v, obj_v = validate_suppression(
+            net, fit.nn_params, data_valid, tp, theta_inits_valid,
+            lbfgs_iters=cfg.lbfgs_iters)
+        theta_nn, obj_nn = validate_suppression(
+            net, fit.nn_params, data_nonoise, tp, theta_inits_valid,
+            lbfgs_iters=cfg.lbfgs_iters)
         for r in range(cfg.select_best_n):
-            theta_v, obj_v = validate_suppression(
-                net, fit.nn_params[r], data_valid, tp, theta_inits_valid,
-                lbfgs_iters=cfg.lbfgs_iters)
-            theta_nn, obj_nn = validate_suppression(
-                net, fit.nn_params[r], data_nonoise, tp, theta_inits_valid,
-                lbfgs_iters=cfg.lbfgs_iters)
             rows.append({
                 "lambda": lam, "restart": r,
                 "correlation_train": spearman(gt_train, fit.thetas[r]),
                 "loss_train": float(fit.objectives[r]),
-                "correlation_valid": spearman(gt_valid, theta_v),
-                "loss_valid": float(obj_v),
-                "correlation_valid_nonoise": spearman(gt_nonoise, theta_nn),
-                "loss_valid_nonoise": float(obj_nn),
+                "correlation_valid": spearman(gt_valid, theta_v[r]),
+                "loss_valid": float(obj_v[r]),
+                "correlation_valid_nonoise": spearman(gt_nonoise,
+                                                      theta_nn[r]),
+                "loss_valid_nonoise": float(obj_nn[r]),
             })
             print(rows[-1], file=sys.stderr)
 

@@ -51,8 +51,8 @@ def main():
     # trees (63 nodes; complexity cap well above PySR's maxsize=18)
     cfg = SymRegConfig(depth=2, population=256, generations=15,
                        const_opt_steps=10) if args.smoke else \
-        SymRegConfig(depth=5, population=8192, generations=300,
-                     const_opt_steps=80, elite=96, parsimony=3e-5)
+        SymRegConfig(depth=5, population=4096, generations=300,
+                     const_opt_steps=80, elite=64, parsimony=3e-5)
 
     with Timer():
         res = fit_symbolic(jnp.asarray(x), jnp.asarray(y),
