@@ -163,8 +163,13 @@ def _random_programs(key: jax.Array, n: int, depth: int,
         level[s:e] = lv
     is_bottom = jnp.asarray(level == depth)
     ops = jnp.where(is_bottom[None, :], leaves, interior)
-    # random early termination: some interior nodes become leaves
-    kill = jax.random.uniform(k_kill, (n, m)) < 0.3
+    # ramped sizes: per-program leaf-termination probability in [0.15, 0.8]
+    # so deep populations mix shallow and deep structures (a uniform kill
+    # rate makes deep trees almost all degenerate and the GP collapses to
+    # constants)
+    k_kill, k_q = jax.random.split(k_kill)
+    q = jax.random.uniform(k_q, (n, 1), minval=0.15, maxval=0.8)
+    kill = jax.random.uniform(k_kill, (n, m)) < q
     ops = jnp.where(kill & ~is_bottom[None, :], leaves, ops)
     ops = repair(ops, depth)
     lo, hi = const_range

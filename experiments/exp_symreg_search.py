@@ -49,15 +49,40 @@ def main():
     # the reference's winning equation (1.78·ΔG/(ΔG + 21.8 + 167β³)) needs
     # a parse-tree depth of ~6, so the full search uses depth-5 complete
     # trees (63 nodes; complexity cap well above PySR's maxsize=18)
-    cfg = SymRegConfig(depth=2, population=256, generations=15,
-                       const_opt_steps=10) if args.smoke else \
-        SymRegConfig(depth=5, population=4096, generations=300,
-                     const_opt_steps=80, elite=64, parsimony=3e-5)
+    # PySR runs 8 island processes; the equivalent here is independent
+    # seeded populations whose Pareto fronts merge
+    if args.smoke:
+        configs = [(SymRegConfig(depth=2, population=256, generations=15,
+                                 const_opt_steps=10), 1)]
+    else:
+        configs = [
+            (SymRegConfig(depth=4, population=4096, generations=300,
+                          const_opt_steps=80, elite=64, parsimony=1e-6), 3),
+            (SymRegConfig(depth=5, population=2048, generations=300,
+                          const_opt_steps=80, elite=48, parsimony=1e-6), 2),
+        ]
 
+    rows_all = []
     with Timer():
-        res = fit_symbolic(jnp.asarray(x), jnp.asarray(y),
-                           jax.random.key(args.seed), cfg)
-    front = pareto_front(res)
+        run_idx = 0
+        for cfg, n_seeds in configs:
+            for s in range(n_seeds):
+                res = fit_symbolic(jnp.asarray(x), jnp.asarray(y),
+                                   jax.random.key(args.seed + run_idx), cfg)
+                rows_all.extend(pareto_front(res))
+                run_idx += 1
+
+    # merge: best loss at each complexity, monotone front
+    merged = {}
+    for r in rows_all:
+        c = r["complexity"]
+        if c not in merged or r["loss"] < merged[c]["loss"]:
+            merged[c] = r
+    front, best = [], np.inf
+    for c in sorted(merged):
+        if merged[c]["loss"] < best:
+            best = merged[c]["loss"]
+            front.append(merged[c])
     for row in front:
         print(row, file=sys.stderr)
 
