@@ -68,15 +68,56 @@ def cohort_beta_profiles(
     upper: float = 1.0,
     steps: int = 10_000,
     chunk: int = 500,
+    use_pallas: bool | None = None,
     **solver_kwargs,
 ) -> Profile:
     """β-profiles for every individual at once (reference :4-17 looped).
 
     Returns ``values[N, S]``; the scan is chunked over the grid axis to bound
-    memory (N × S trajectories).
+    memory (N × S trajectories).  On TPU the plain conditional model routes
+    through the fused Pallas kernel (lanes = individuals × grid points).
     """
     grid = jnp.linspace(lower, upper, steps)
     sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (cohort.n,))
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and model.kind == "conditional"
+                      and not solver_kwargs)
+    if use_pallas:
+        from conditional_ude_tpu.ops.pallas_rk4 import screen_population_pallas
+
+        # lanes = grid-chunk × individuals: reuse the screening kernel with
+        # the NN replicated and per-lane β = grid value
+        parts = []
+        for i in range(0, steps, chunk):
+            g_chunk = grid[i:i + chunk]
+            s_chunk = g_chunk.shape[0]
+            nn_rep = jnp.broadcast_to(nn_params[None],
+                                      (s_chunk, nn_params.shape[0]))
+            betas = jnp.broadcast_to(g_chunk[:, None], (s_chunk, cohort.n))
+            # per-(grid, individual) SSE, no mean: call the lane kernel
+            from conditional_ude_tpu.ops.pallas_rk4 import cohort_sse_pallas
+            import numpy as _np
+
+            inds = cohort.individuals
+            kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+            tp = tuple(float(t) for t in _np.asarray(cohort.timepoints))
+            k = len(tp)
+            sse_lanes = cohort_sse_pallas(
+                model.net,
+                nn_rep[:, None, :].repeat(cohort.n, 1).reshape(-1, nn_params.shape[0]),
+                betas.reshape(-1),
+                jnp.broadcast_to(inds.glucose[None], (s_chunk, cohort.n, k)).reshape(-1, k),
+                jnp.broadcast_to(cohort.cpeptide[None], (s_chunk, cohort.n, k)).reshape(-1, k),
+                jnp.broadcast_to(kin[None], (s_chunk, cohort.n, 4)).reshape(-1, 4),
+                tp,
+            )
+            vals = sse_lanes.reshape(s_chunk, cohort.n).T  # [N, s_chunk]
+            parts.append(vals / (2.0 * sig[:, None] ** 2))
+        values = jnp.concatenate(parts, axis=1)
+        return Profile(grid=grid, values=values,
+                       minimum=jnp.min(values, axis=1))
 
     def at_beta(beta, ind, data, s):
         kw = dict(solver="rk4", substeps=8)   # throughput default

@@ -125,7 +125,12 @@ class MLP:
         ]
         h = x
         for (w, b), act in zip(layers, acts):
-            h = jnp.einsum("...oi,...i->...o", w, h) + b
+            # HIGHEST: on TPU the default einsum precision routes batched
+            # matmuls through the MXU in bfloat16, which injects ~1e-2
+            # relative error into the ODE right-hand side; these matrices
+            # are tiny so full f32 costs nothing
+            h = jnp.einsum("...oi,...i->...o", w, h,
+                           precision=jax.lax.Precision.HIGHEST) + b
             h = act(h)
         return h
 
