@@ -121,6 +121,7 @@ def train_conditional(
     betas_init = jnp.asarray(beta_flat, jnp.float32)[..., None]
     betas_init = jnp.repeat(betas_init, cfg.n_conditional, axis=-1)  # [G,N,c]
 
+    cohort_full = cohort
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -144,7 +145,16 @@ def train_conditional(
                       and model.kind == "conditional"
                       and cfg.n_conditional == 1 and cfg.solver == "rk4")
 
-    if use_pallas:
+    if (mesh is not None and use_pallas and model.kind == "conditional"
+            and cfg.n_conditional == 1 and "restarts" in mesh.shape):
+        # multi-chip screening: fused kernel under shard_map, restart
+        # shards per chip, no cross-chip communication
+        from conditional_ude_tpu.parallel.mesh import sharded_screen_pallas
+
+        screen = sharded_screen_pallas(model.net, nn_inits,
+                                       betas_init[:, :, 0], cohort_full,
+                                       mesh, substeps=cfg.substeps)
+    elif use_pallas:
         from conditional_ude_tpu.ops.pallas_rk4 import (
             screen_population_pallas,
         )

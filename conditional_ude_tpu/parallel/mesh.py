@@ -99,6 +99,34 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
                                  NamedSharding(mesh, P())), tree)
 
 
+def sharded_screen_pallas(net, nn_inits, betas, cohort, mesh: Mesh,
+                          axis_name: str = "restarts",
+                          substeps: int = 8) -> jax.Array:
+    """Multi-chip screening: the fused Pallas RK4 kernel under ``shard_map``
+    over the restart axis — each chip screens its shard of the multi-start
+    grid with zero cross-chip communication (lanes are independent; the
+    only collective in the pipeline is the later top-k over [G]).
+
+    ``nn_inits [G, P]`` / ``betas [G, N]`` with G divisible by the mesh
+    axis.  Falls back to interpret mode off-TPU (for mesh dry runs).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from conditional_ude_tpu.ops.pallas_rk4 import screen_population_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    fn = shard_map(
+        lambda nn_, b_: screen_population_pallas(
+            net, nn_, b_, cohort, substeps=substeps, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(fn)(nn_inits, betas)
+
+
 def shard_cohort(cohort: Any, mesh: Mesh,
                  axis_name: str = "individuals") -> Any:
     """Shard a :class:`~conditional_ude_tpu.models.cpeptide.Cohort` over the
