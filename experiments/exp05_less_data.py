@@ -74,6 +74,10 @@ def main():
             "n_train": len(sub.ages),
             "train_objective": float(res.objectives[0]),
             "test_sse_mean": float(np.mean(sse[np.isfinite(sse)])),
+            # median is the robust headline: with tiny training fractions
+            # the best-train restart can blow up on single test subjects
+            # (the reference script does no validation selection either)
+            "test_sse_median": float(np.median(sse[np.isfinite(sse)])),
             "seconds": round(t.seconds, 1),
         })
         print(rows[-1], file=sys.stderr)
@@ -83,6 +87,8 @@ def main():
         "fractions": fractions,
         "test_sse_by_fraction": {str(r["fraction"]): r["test_sse_mean"]
                                  for r in rows},
+        "test_sse_median_by_fraction": {
+            str(r["fraction"]): r["test_sse_median"] for r in rows},
     })
 
 
