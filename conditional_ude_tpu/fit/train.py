@@ -68,6 +68,10 @@ class TrainConfig:
     # fused Pallas kernel for the screening pass (~4.5x over the XLA RK4
     # path on TPU); None = auto-enable on TPU for the plain conditional model
     use_pallas: bool | None = None
+    # refinement runs as bounded-runtime dispatches (Adam state threaded,
+    # L-BFGS history restarts): long single XLA programs through the axon
+    # tunnel can get the worker killed
+    dispatch_chunk: int = 500
 
 
 class TrainResult(NamedTuple):
@@ -188,21 +192,38 @@ def train_conditional(
         b0 = jax.device_put(
             b0, NamedSharding(mesh, P("restarts", ind_ax, None)))
 
-    # -- Adam stage (vmapped over restarts) -----------------------------------
-    def run_adam(nn, b):
-        res = adam_minimize(
-            lambda p: population_sse(model, p["neural"], p["conditional"],
-                                     cohort, **loss_kw),
-            {"neural": nn, "conditional": b},
-            iters=cfg.adam_iters, lr=cfg.adam_lr)
-        return res.x["neural"], res.x["conditional"], res.loss_trace
+    # -- Adam stage (vmapped over restarts, bounded-runtime dispatches) -------
+    import optax
 
-    nn1, b1, traces = jax.jit(jax.vmap(run_adam))(nn0, b0)
+    chunk = max(1, min(cfg.dispatch_chunk, cfg.adam_iters))
 
-    # -- L-BFGS stage (flat joint vector per restart) -------------------------
+    def loss_tree(p):
+        return population_sse(model, p["neural"], p["conditional"],
+                              cohort, **loss_kw)
+
+    def run_adam_chunk(nn, b, state):
+        res = adam_minimize(loss_tree, {"neural": nn, "conditional": b},
+                            iters=chunk, lr=cfg.adam_lr, opt_state=state)
+        return (res.x["neural"], res.x["conditional"], res.opt_state,
+                res.loss_trace)
+
+    adam_step = jax.jit(jax.vmap(run_adam_chunk))
+    state = jax.vmap(lambda nn, b: optax.adam(cfg.adam_lr).init(
+        {"neural": nn, "conditional": b}))(nn0, b0)
+    nn1, b1 = nn0, b0
+    trace_parts = []
+    done_iters = 0
+    while done_iters < cfg.adam_iters:
+        nn1, b1, state, tr = adam_step(nn1, b1, state)
+        jax.block_until_ready(b1)
+        trace_parts.append(tr)
+        done_iters += chunk
+    traces = jnp.concatenate(trace_parts, axis=1)[:, : cfg.adam_iters]
+
+    # -- L-BFGS stage (flat joint vector per restart, chunked dispatches) -----
     p_nn = nn1.shape[-1]
 
-    def run_lbfgs(nn, b):
+    def run_lbfgs_chunk(nn, b):
         x0 = jnp.concatenate([nn, b.reshape(-1)])
 
         def flat_loss(x):
@@ -210,11 +231,17 @@ def train_conditional(
                                   x[p_nn:].reshape(n, cfg.n_conditional),
                                   cohort, **loss_kw)
 
-        res = lbfgs_minimize(flat_loss, x0, max_iters=cfg.lbfgs_iters)
+        res = lbfgs_minimize(flat_loss, x0, max_iters=chunk)
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
                 res.fval)
 
-    nn2, b2, objs = jax.jit(jax.vmap(run_lbfgs))(nn1, b1)
+    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk))
+    nn2, b2, objs = nn1, b1, None
+    done_iters = 0
+    while done_iters < cfg.lbfgs_iters:
+        nn2, b2, objs = lbfgs_step(nn2, b2)
+        jax.block_until_ready(objs)
+        done_iters += chunk
 
     if cfg.final_eval_tsit5 and cfg.solver != "tsit5":
         # parity ranking: re-evaluate final objectives with the adaptive
@@ -258,12 +285,18 @@ def train_ude(
     top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))
     nn0 = nn_inits[top[:selected_initials]]
 
+    # two separate dispatches (adam, then lbfgs) keep program runtimes
+    # bounded for the axon tunnel
+    nn1 = jax.jit(jax.vmap(
+        lambda nn: adam_minimize(loss_nn, nn, iters=adam_iters,
+                                 lr=adam_lr).x))(nn0)
+    jax.block_until_ready(nn1)
+
     def refine(nn):
-        res = adam_minimize(loss_nn, nn, iters=adam_iters, lr=adam_lr)
-        res2 = lbfgs_minimize(loss_nn, res.x, max_iters=lbfgs_iters)
+        res2 = lbfgs_minimize(loss_nn, nn, max_iters=lbfgs_iters)
         return res2.x, res2.fval
 
-    nn_fit, objs = jax.jit(jax.vmap(refine))(nn0)
+    nn_fit, objs = jax.jit(jax.vmap(refine))(nn1)
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return nn_fit[order], objs[order], screen
 
