@@ -26,7 +26,6 @@ Reference quirks preserved deliberately (bit-for-bit semantics, not RNG):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -22,7 +22,7 @@ freezes rather than crashing the batch (mirrors the reference's
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

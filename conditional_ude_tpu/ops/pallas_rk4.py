@@ -27,7 +27,6 @@ Reference capability: the screening loop at
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
