@@ -85,35 +85,36 @@ def cohort_beta_profiles(
                       and model.kind == "conditional"
                       and not solver_kwargs)
     if use_pallas:
-        from conditional_ude_tpu.ops.pallas_rk4 import screen_population_pallas
+        from conditional_ude_tpu.ops.pallas_rk4 import cohort_sse_pallas
 
-        # lanes = grid-chunk × individuals: reuse the screening kernel with
-        # the NN replicated and per-lane β = grid value
+        # lanes = (grid point × individual): the screening kernel with the
+        # NN replicated across lanes and per-lane β = the grid value
+        inds = cohort.individuals
+        n = cohort.n
+        kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+        tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
+        k = len(tp)
+
+        def expand(x):
+            """[N, ...] → [s·N, ...] tiled along the grid-chunk axis."""
+            return jnp.broadcast_to(x[None], (s_chunk,) + x.shape).reshape(
+                (s_chunk * n,) + x.shape[1:])
+
         parts = []
         for i in range(0, steps, chunk):
             g_chunk = grid[i:i + chunk]
             s_chunk = g_chunk.shape[0]
-            nn_rep = jnp.broadcast_to(nn_params[None],
-                                      (s_chunk, nn_params.shape[0]))
-            betas = jnp.broadcast_to(g_chunk[:, None], (s_chunk, cohort.n))
-            # per-(grid, individual) SSE, no mean: call the lane kernel
-            from conditional_ude_tpu.ops.pallas_rk4 import cohort_sse_pallas
-            import numpy as _np
-
-            inds = cohort.individuals
-            kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
-            tp = tuple(float(t) for t in _np.asarray(cohort.timepoints))
-            k = len(tp)
             sse_lanes = cohort_sse_pallas(
                 model.net,
-                nn_rep[:, None, :].repeat(cohort.n, 1).reshape(-1, nn_params.shape[0]),
-                betas.reshape(-1),
-                jnp.broadcast_to(inds.glucose[None], (s_chunk, cohort.n, k)).reshape(-1, k),
-                jnp.broadcast_to(cohort.cpeptide[None], (s_chunk, cohort.n, k)).reshape(-1, k),
-                jnp.broadcast_to(kin[None], (s_chunk, cohort.n, 4)).reshape(-1, 4),
+                jnp.broadcast_to(nn_params[None],
+                                 (s_chunk * n, nn_params.shape[0])),
+                jnp.repeat(g_chunk, n),
+                expand(inds.glucose),
+                expand(cohort.cpeptide),
+                expand(kin),
                 tp,
             )
-            vals = sse_lanes.reshape(s_chunk, cohort.n).T  # [N, s_chunk]
+            vals = sse_lanes.reshape(s_chunk, n).T          # [N, s_chunk]
             parts.append(vals / (2.0 * sig[:, None] ** 2))
         values = jnp.concatenate(parts, axis=1)
         return Profile(grid=grid, values=values,
