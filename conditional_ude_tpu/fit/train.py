@@ -245,11 +245,37 @@ def train_conditional(
 
     if cfg.final_eval_tsit5 and cfg.solver != "tsit5":
         # parity ranking: re-evaluate final objectives with the adaptive
-        # solver the reference uses (one cheap batched pass)
-        objs = jax.jit(jax.vmap(
-            lambda nn, b: population_sse(model, nn, b, cohort,
-                                         solver="tsit5",
-                                         max_steps=cfg.max_steps)))(nn2, b2)
+        # solver the reference uses (one cheap gradient-free batched pass;
+        # the fused adaptive kernel where eligible)
+        if use_pallas and mesh is None:
+            from conditional_ude_tpu.ops.pallas_tsit5 import (
+                cohort_sse_tsit5_pallas,
+            )
+
+            r = nn2.shape[0]
+            inds = cohort.individuals
+            kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+            tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
+            k_t = len(tp)
+            p_dim = nn2.shape[-1]
+            sse_lanes, ok = cohort_sse_tsit5_pallas(
+                model.net,
+                jnp.broadcast_to(nn2[:, None, :], (r, n, p_dim)).reshape(
+                    -1, p_dim),
+                b2[:, :, 0].reshape(-1),
+                jnp.broadcast_to(inds.glucose[None],
+                                 (r, n, k_t)).reshape(-1, k_t),
+                jnp.broadcast_to(cohort.cpeptide[None],
+                                 (r, n, k_t)).reshape(-1, k_t),
+                jnp.broadcast_to(kin[None], (r, n, 4)).reshape(-1, 4),
+                tp, cfg.max_steps)
+            objs = jnp.mean(sse_lanes.reshape(r, n), axis=1)
+        else:
+            objs = jax.jit(jax.vmap(
+                lambda nn, b: population_sse(model, nn, b, cohort,
+                                             solver="tsit5",
+                                             max_steps=cfg.max_steps)))(
+                nn2, b2)
 
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return TrainResult(nn_params=nn2[order], betas=b2[order],
