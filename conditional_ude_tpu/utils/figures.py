@@ -1,9 +1,12 @@
-"""Publication-figure helpers (matplotlib port of the reference's key plots).
+"""Publication-figure helpers (matplotlib port of the reference's plots).
 
 The reference defines its palette in ``src/figures.jl:4-13`` and builds ~40
 CairoMakie figures inside the experiment scripts.  This module ports the
-palette and the three workhorse figure types: per-type error distributions,
-model-fit panels, and β-vs-clamp-index correlation scatters.
+palette and the figure vocabulary those scripts are built from: per-type
+error distributions, model-fit panels (single, median, grid, quantile-band),
+correlation scatters, dose-response curves, likelihood-profile curves,
+β distributions, candidate-β grids, ablation curves, and Pareto fronts.
+The full gallery is rendered by ``experiments/exp_figures.py``.
 """
 
 from __future__ import annotations
@@ -107,4 +110,240 @@ def loss_trace(traces: np.ndarray, labels=None, ylabel="loss"):
     ax.set_yscale("log")
     if labels is not None:
         ax.legend(fontsize=7)
+    return fig
+
+
+def data_overview(timepoints, glucose, cpeptide, types):
+    """Per-type mean ± sd of the raw glucose and c-peptide curves
+    (``02-conditional.jl`` eccb ``data``/``glucose`` figures)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(7, 2.8))
+    for ax, (arr, label) in zip(axes, [(np.asarray(glucose), "Glucose (mmol/L)"),
+                                       (np.asarray(cpeptide),
+                                        "C-peptide (nmol/L)")]):
+        for t in TYPES:
+            sel = np.asarray(types) == t
+            if not sel.any():
+                continue
+            m, s = arr[sel].mean(axis=0), arr[sel].std(axis=0)
+            ax.errorbar(timepoints, m, yerr=s, color=COLORS[t],
+                        marker=MARKERS[t], ms=3, lw=1.2, capsize=2, label=t)
+        ax.set_xlabel("time (min)")
+        ax.set_ylabel(label)
+    axes[0].legend(fontsize=7)
+    return fig
+
+
+def fit_grid(timepoints, observations, dense_t, simulations, types,
+             ncols: int = 7, titles=None):
+    """All-subjects grid of fits (``model_fit_test_all``,
+    ``02-conditional.jl`` supplementary)."""
+    plt = _plt()
+    n = len(types)
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(1.7 * ncols, 1.6 * nrows),
+                             sharex=True, sharey=True)
+    axes = np.atleast_2d(axes)
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols, i % ncols]
+        if i >= n:
+            ax.axis("off")
+            continue
+        t = types[i]
+        ax.plot(dense_t, simulations[i], color=COLORS.get(t, "k"), lw=1.2)
+        ax.scatter(timepoints, observations[i], s=8,
+                   color=COLORS.get(t, "k"), marker=MARKERS.get(t, "o"))
+        ax.set_title(str(t) if titles is None else str(titles[i]), fontsize=7)
+    return fig
+
+
+def quantile_fit_band(dense_t, simulations, timepoints, observations,
+                      color="tab:blue", title=None):
+    """Population quantile band: 5-95% band + median of ``simulations[N,T]``
+    over the observed quantiles (``04-symreg-external.jl`` quantile fits)."""
+    plt = _plt()
+    sims = np.asarray(simulations)
+    obs = np.asarray(observations)
+    fig, ax = plt.subplots(figsize=(3.6, 2.8))
+    ax.fill_between(dense_t, np.quantile(sims, 0.05, axis=0),
+                    np.quantile(sims, 0.95, axis=0), color=color, alpha=0.25)
+    ax.plot(dense_t, np.median(sims, axis=0), color=color, lw=1.5)
+    ax.errorbar(timepoints, np.median(obs, axis=0),
+                yerr=np.vstack([np.median(obs, 0) - np.quantile(obs, 0.05, 0),
+                                np.quantile(obs, 0.95, 0) - np.median(obs, 0)]),
+                fmt="ko", ms=3, lw=0.8, capsize=2)
+    ax.set_xlabel("time (min)")
+    ax.set_ylabel("C-peptide (nmol/L)")
+    if title:
+        ax.set_title(title, fontsize=9)
+    return fig
+
+
+def dose_response(dg_grid, curves, beta_values, cmap="viridis",
+                  ylabel="production"):
+    """NN production vs ΔG for a sweep of β (``figure_1/dose_response``).
+
+    ``curves[K, G]`` over ``dg_grid[G]``, one line per ``beta_values[K]``,
+    colored by β."""
+    plt = _plt()
+    import matplotlib.cm as cm
+    from matplotlib.colors import Normalize
+
+    curves = np.asarray(curves)
+    bv = np.asarray(beta_values)
+    norm = Normalize(bv.min(), bv.max() if bv.max() > bv.min()
+                     else bv.min() + 1)
+    mapper = cm.ScalarMappable(norm=norm, cmap=cmap)
+    fig, ax = plt.subplots(figsize=(3.4, 2.8))
+    for b, c in zip(bv, curves):
+        ax.plot(dg_grid, c, color=mapper.to_rgba(b), lw=1)
+    fig.colorbar(mapper, ax=ax, label="β")
+    ax.set_xlabel("ΔG (mmol/L)")
+    ax.set_ylabel(ylabel)
+    return fig
+
+
+def dose_response_compare(dg_grid, nn_curves, sym_curves, beta_values):
+    """NN vs symbolic-equation production overlays
+    (``supplementary/dose_response_neural_symbolic``)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(3.6, 2.8))
+    nn_curves, sym_curves = np.asarray(nn_curves), np.asarray(sym_curves)
+    for i, b in enumerate(np.asarray(beta_values)):
+        ax.plot(dg_grid, nn_curves[i], color="k", lw=1,
+                label="neural" if i == 0 else None)
+        ax.plot(dg_grid, sym_curves[i], color=COLORS["IGT"], lw=1, ls="--",
+                label="symbolic" if i == 0 else None)
+    ax.set_xlabel("ΔG (mmol/L)")
+    ax.set_ylabel("production")
+    ax.legend(fontsize=7)
+    return fig
+
+
+def beta_distribution(betas, types, xlabel="β"):
+    """Per-type histogram of the fitted conditional parameters
+    (``supplementary/beta_distribution``)."""
+    plt = _plt()
+    betas = np.asarray(betas)
+    fig, ax = plt.subplots(figsize=(3.6, 2.6))
+    bins = np.histogram_bin_edges(betas, bins=20)
+    for t in TYPES:
+        sel = np.asarray(types) == t
+        if sel.any():
+            ax.hist(betas[sel], bins=bins, color=COLORS[t], alpha=0.55,
+                    label=t)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("count")
+    ax.legend(fontsize=7)
+    return fig
+
+
+def likelihood_curves(grid, profiles, threshold: float, types=None,
+                      max_panels: int = 16):
+    """Small-multiple likelihood profiles with the CI threshold line
+    (``supplementary/likelihood_curves``; thresholds from
+    ``src/likelihood-profiles.jl:34-59``).
+
+    ``profiles[N, S]`` NLL values over ``grid[S]``; each panel draws the
+    profile minus its minimum and the Δ-threshold."""
+    plt = _plt()
+    profiles = np.asarray(profiles)
+    n = min(len(profiles), max_panels)
+    ncols = int(np.ceil(np.sqrt(n)))
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(1.9 * ncols, 1.7 * nrows),
+                             sharex=True)
+    axes = np.atleast_1d(np.asarray(axes)).ravel()
+    for i in range(len(axes)):
+        ax = axes[i]
+        if i >= n:
+            ax.axis("off")
+            continue
+        t = None if types is None else types[i]
+        prof = profiles[i] - profiles[i].min()
+        ax.plot(grid, prof, color=COLORS.get(t, "k"), lw=1)
+        ax.axhline(threshold, color="gray", ls="--", lw=0.8)
+        ax.set_ylim(0, 4 * threshold)
+        if t is not None:
+            ax.set_title(str(t), fontsize=7)
+    return fig
+
+
+def candidate_beta_grid(betas_candidates, index_values, ncols: int = 5):
+    """Per-candidate β-vs-clamp scatter grid with correlation-sign shading
+    (``supplementary/other_betas``, ``02-conditional.jl:427-441``)."""
+    from .stats import spearman
+
+    plt = _plt()
+    bc = np.asarray(betas_candidates)
+    iv = np.asarray(index_values)
+    n = bc.shape[0]
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(1.9 * ncols, 1.8 * nrows),
+                             sharex=False, sharey=True)
+    axes = np.atleast_1d(np.asarray(axes)).ravel()
+    for i in range(len(axes)):
+        ax = axes[i]
+        if i >= n:
+            ax.axis("off")
+            continue
+        rho = spearman(np.exp(bc[i]), iv)
+        shade = COLORS["T2DM"] if rho > 0 else COLORS["IGT"]
+        ax.set_facecolor((*shade, 0.1))
+        ax.scatter(np.exp(bc[i]), iv, s=6, color="k", alpha=0.9)
+        ax.set_title(f"Model {i + 1} (ρ={rho:.2f})", fontsize=6)
+    return fig
+
+
+def ablation_curve(fractions, sse_values, ylabel="test SSE (median)"):
+    """Performance vs training-data fraction
+    (``supplementary/performance-less-data``)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(3.6, 2.6))
+    ax.plot(fractions, sse_values, "o-", color=COLORS["NGT"], ms=4)
+    ax.set_xlabel("fraction of training data")
+    ax.set_ylabel(ylabel)
+    return fig
+
+
+def pareto_front(complexities, losses, chosen: int | None = None):
+    """Symbolic-regression Pareto front (complexity vs loss), mirroring the
+    reference's PySR result table
+    (``symbolic-regression/results/symbolic_regression_result.csv``)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(3.4, 2.6))
+    ax.plot(complexities, losses, "o-", color="k", ms=4)
+    if chosen is not None:
+        i = list(complexities).index(chosen)
+        ax.plot([chosen], [losses[i]], "o", color=COLORS["IGT"], ms=8,
+                mfc="none", mew=2)
+    ax.set_xlabel("equation complexity")
+    ax.set_ylabel("loss")
+    ax.set_yscale("log")
+    return fig
+
+
+def scatter_compare(x, y, xlabel, ylabel, types=None, identity=True):
+    """Generic estimator-comparison scatter (SAEM MAP vs MLE,
+    ``06-saem.jl`` figures)."""
+    plt = _plt()
+    x, y = np.asarray(x), np.asarray(y)
+    fig, ax = plt.subplots(figsize=(3, 3))
+    if types is None:
+        ax.scatter(x, y, s=14, color="k", alpha=0.8)
+    else:
+        for t in TYPES:
+            sel = np.asarray(types) == t
+            if sel.any():
+                ax.scatter(x[sel], y[sel], s=14, color=COLORS[t],
+                           marker=MARKERS[t], label=t)
+        ax.legend(fontsize=7)
+    if identity:
+        lo = min(x.min(), y.min())
+        hi = max(x.max(), y.max())
+        ax.plot([lo, hi], [lo, hi], color="gray", lw=0.8, ls="--")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
     return fig

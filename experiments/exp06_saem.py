@@ -124,6 +124,15 @@ def main():
                     for g, v in zip(dg_grid, p))
     write_csv(args.artifacts / "neural_simulations.csv", rows)
 
+    # persist the fit for downstream figures (experiments/exp_figures.py)
+    from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(args.artifacts / "saem_fit.npz", {
+        "nn_params": res.theta, "sigma": res.sigma, "omega": res.omega,
+        "eta": res.eta, "beta_map": maps, "beta_mle": mles,
+        "beta_posterior_mean": post_mean, "nll_trace": res.nll_trace,
+        "acceptance_trace": res.acceptance_trace,
+    }, metadata={"script": "exp06"})
+
     write_metrics(args.results / "exp06_metrics.json", {
         "final_nll": float(res.nll_trace[-1]),
         "final_acceptance": float(res.acceptance_trace[-1]),

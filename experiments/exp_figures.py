@@ -1,0 +1,426 @@
+"""Figure gallery — renders the reference's publication-figure set from the
+cached artifacts (reference figure code lives inline in
+``c-peptide/02-conditional.jl`` and friends; filenames mirrored here).
+
+Sections are skipped (with a note) when their artifact is missing, so the
+gallery can be produced incrementally.  Outputs land in
+``results/figures/`` and a manifest of rendered files is written to
+``results/exp_figures_manifest.json``.
+"""
+
+from __future__ import annotations
+
+import csv
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from common import configure_backend, load_cohorts, make_parser, write_metrics
+
+RENDERED: list[str] = []
+
+
+def emit(fig, outdir: Path, name: str):
+    from conditional_ude_tpu.utils import figures
+
+    figures.save(fig, outdir / name)
+    RENDERED.append(name)
+    print(f"[figure] {name}", file=sys.stderr)
+
+
+def skip(name: str, why: str):
+    print(f"[skip] {name}: {why}", file=sys.stderr)
+
+
+def median_index_per_type(types, errors):
+    """Index of the median-error subject of each type
+    (``02-conditional.jl`` model_fit_test_median via ``argmedian``)."""
+    from conditional_ude_tpu.utils.stats import argmedian
+
+    idx = []
+    for t in ("NGT", "IGT", "T2DM"):
+        sel = np.flatnonzero(types == t)
+        if sel.size:
+            idx.append(int(sel[argmedian(errors[sel])]))
+    return np.asarray(idx)
+
+
+def main():
+    p = make_parser(__doc__)
+    p.add_argument("--sections", nargs="*", default=None,
+                   help="subset of sections to render")
+    args = p.parse_args()
+    configure_backend(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.models.cpeptide import (
+        CPeptideModel,
+        build_cohort,
+        simulate_cohort,
+    )
+    from conditional_ude_tpu.nn import chain
+    from conditional_ude_tpu.utils import figures
+    from conditional_ude_tpu.utils.stats import spearman, stratified_split
+
+    outdir = args.results / "figures"
+    art = args.artifacts
+    want = (lambda s: args.sections is None or s in args.sections)
+
+    train, test, cohort_train, cohort_test = load_cohorts(
+        args.data_dir, args.smoke)
+    dense_t = np.arange(train.timepoints[0], train.timepoints[-1] + 0.1,
+                        2.0).astype(np.float32)
+    re_iters = 100 if args.smoke else 1000
+    prof_steps = 200 if args.smoke else 2000
+
+    # ------------------------------------------------------------------ data
+    if want("data"):
+        g_all = np.concatenate([train.glucose, test.glucose])
+        c_all = np.concatenate([train.cpeptide, test.cpeptide])
+        t_all = np.concatenate([train.types, test.types])
+        emit(figures.data_overview(train.timepoints, g_all, c_all, t_all),
+             outdir, "data_overview.png")
+
+    # ------------------------------------------------------------------ cude
+    cude_path = art / "cude_neural_parameters.npz"
+    nn_best = b_train = b_test = None
+    if want("cude") and cude_path.exists():
+        net = chain(4, 2, "tanh", input_dims=2)
+        model = CPeptideModel(kind="conditional", net=net)
+        z = np.load(cude_path)
+        candidates, betas_cand = z["nn_params"], z["betas"]
+        try:
+            import json
+
+            best = json.loads(
+                (args.results / "exp02_metrics.json").read_text()
+            )["best_model_index"]
+        except Exception:
+            best = int(np.argmin(z["objectives"]))
+        nn_best = jnp.asarray(candidates[best])
+        betas_best = betas_cand[best].ravel()
+        lb = betas_best.min() - 0.1 * abs(betas_best.min())
+        ub = betas_best.max() + 0.1 * abs(betas_best.max())
+
+        from conditional_ude_tpu.fit.train import fit_betas_sigma
+
+        def reestimate(c):
+            return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
+                                   bounds=(float(lb), float(ub)),
+                                   lbfgs_iters=re_iters)
+
+        b_train, s_train, o_train = map(np.asarray, reestimate(cohort_train))
+        b_test, s_test, o_test = map(np.asarray, reestimate(cohort_test))
+
+        def dense_sims(cohort, b):
+            res = simulate_cohort(model, nn_best, jnp.asarray(b)[:, None],
+                                  cohort, saveat=jnp.asarray(dense_t),
+                                  solver="rk4", substeps=4)
+            return np.asarray(res.ys[:, :, 0])
+
+        sims_train, sims_test = dense_sims(cohort_train, b_train), \
+            dense_sims(cohort_test, b_test)
+        err_train = np.mean((np.asarray(simulate_cohort(
+            model, nn_best, jnp.asarray(b_train)[:, None],
+            cohort_train).ys[:, :, 0]) - train.cpeptide) ** 2, axis=1)
+        err_test = np.mean((np.asarray(simulate_cohort(
+            model, nn_best, jnp.asarray(b_test)[:, None],
+            cohort_test).ys[:, :, 0]) - test.cpeptide) ** 2, axis=1)
+
+        emit(figures.model_fit_panels(
+            train.timepoints, train.cpeptide, sims_train, train.types,
+            indices=median_index_per_type(train.types, err_train),
+            dense_t=dense_t), outdir, "model_fit_train_median.png")
+        emit(figures.model_fit_panels(
+            test.timepoints, test.cpeptide, sims_test, test.types,
+            indices=median_index_per_type(test.types, err_test),
+            dense_t=dense_t), outdir, "model_fit_test_median.png")
+        emit(figures.fit_grid(test.timepoints, test.cpeptide, dense_t,
+                              sims_test, test.types),
+             outdir, "model_fit_test_all.png")
+        emit(figures.error_violins(err_test, test.types, ylabel="test MSE"),
+             outdir, "model_fit_error.png")
+
+        b_all = np.concatenate([b_train, b_test])
+        types_all = np.concatenate([train.types, test.types])
+        emit(figures.beta_distribution(b_all, types_all),
+             outdir, "beta_distribution.png")
+
+        fp_all = np.concatenate([train.first_phase, test.first_phase])
+        emit(figures.correlation_scatter(
+            np.exp(b_all), fp_all, types_all, xlabel="exp(β)",
+            ylabel="First-phase clamp",
+            rho=spearman(np.exp(b_all), fp_all)),
+            outdir, "correlation.png")
+        for name, vals in [
+            ("age", np.concatenate([train.ages, test.ages])),
+            ("insulin_sensitivity", np.concatenate(
+                [train.insulin_sensitivity, test.insulin_sensitivity])),
+            ("second_phase", np.concatenate(
+                [train.second_phase, test.second_phase])),
+            ("disposition_index", np.concatenate(
+                [train.disposition_indices, test.disposition_indices])),
+        ]:
+            emit(figures.correlation_scatter(
+                np.exp(b_all), vals, types_all, xlabel="exp(β)",
+                ylabel=name.replace("_", " "),
+                rho=spearman(np.exp(b_all), vals)),
+                outdir, f"correlation_sup_{name}.png")
+
+        # dose-response sweep over β quantiles (figure_1/dose_response)
+        beta_grid = np.quantile(b_train, np.linspace(0.05, 0.95, 20))
+        dg_grid = np.linspace(0.0, np.ptp(train.glucose, axis=1).max(),
+                              100).astype(np.float32)
+
+        def prod_curve(beta):
+            x1 = jnp.stack([dg_grid, jnp.full_like(dg_grid, np.exp(beta))])
+            x0 = jnp.stack([jnp.zeros_like(dg_grid),
+                            jnp.full_like(dg_grid, np.exp(beta))])
+            return (jax.vmap(net.scalar, (None, 1))(nn_best, x1)
+                    - jax.vmap(net.scalar, (None, 1))(nn_best, x0))
+
+        nn_curves = np.asarray([prod_curve(float(b)) for b in beta_grid])
+        emit(figures.dose_response(dg_grid, nn_curves, beta_grid),
+             outdir, "dose_response.png")
+
+        # likelihood-profile curves (supplementary/likelihood_curves)
+        from conditional_ude_tpu.analysis import (
+            THRESHOLDS,
+            cohort_beta_profiles,
+        )
+
+        prof = cohort_beta_profiles(model, nn_best, cohort_test,
+                                    sigmas=jnp.asarray(s_test),
+                                    lower=float(lb) - 1.0,
+                                    upper=float(ub) + 1.0, steps=prof_steps)
+        emit(figures.likelihood_curves(np.asarray(prof.grid),
+                                       np.asarray(prof.values),
+                                       THRESHOLDS["cantelli95"],
+                                       types=test.types),
+             outdir, "likelihood_curves.png")
+
+        # per-candidate β grids (supplementary/other_betas) — training β's
+        # of every restart vs the fit-split first-phase index
+        rng = np.random.default_rng(args.seed)
+        idx_fit, _ = stratified_split(rng, train.types, 0.7)
+        bc = betas_cand[..., 0] if betas_cand.ndim == 3 else betas_cand
+        if bc.shape[-1] == len(idx_fit):
+            emit(figures.candidate_beta_grid(bc, train.first_phase[idx_fit]),
+                 outdir, "other_betas.png")
+        else:
+            skip("other_betas.png", "candidate β count != fit-split size")
+    elif want("cude"):
+        skip("cude section", f"{cude_path} missing")
+
+    # ------------------------------------------------------------------- ude
+    ude_path = art / "ude_neural_parameters.npz"
+    if want("ude") and ude_path.exists():
+        ude_net = chain(4, 2, "tanh", input_dims=1)
+        ude_model = CPeptideModel(kind="ude", net=ude_net)
+        ude_nn = jnp.asarray(np.load(ude_path)["nn_params"][0])
+        res = simulate_cohort(ude_model, ude_nn,
+                              jnp.zeros((cohort_test.n, 0), jnp.float32),
+                              cohort_test, saveat=jnp.asarray(dense_t),
+                              solver="rk4", substeps=4)
+        sims = np.asarray(res.ys[:, :, 0])
+        emit(figures.fit_grid(test.timepoints, test.cpeptide, dense_t, sims,
+                              test.types),
+             outdir, "model_fit_ude_test.png")
+        ngt = np.flatnonzero(test.types == "NGT")
+        if ngt.size:
+            emit(figures.fit_grid(test.timepoints, test.cpeptide[ngt],
+                                  dense_t, sims[ngt], test.types[ngt],
+                                  ncols=min(6, ngt.size)),
+                 outdir, "model_fit_ude_test_ngt.png")
+    elif want("ude"):
+        skip("ude section", f"{ude_path} missing")
+
+    # -------------------------------------------------------------- symbolic
+    if want("symbolic"):
+        from conditional_ude_tpu.models.symbolic import (
+            beta_to_k,
+            fit_k_sigma,
+            symbolic_model,
+            symbolic_production,
+        )
+
+        sym = symbolic_model()
+
+        # NN-vs-symbolic dose-response overlay
+        if nn_best is not None:
+            beta_grid = np.quantile(b_train, [0.1, 0.5, 0.9])
+            dg_grid = np.linspace(0.0, np.ptp(train.glucose, axis=1).max(),
+                                  100).astype(np.float32)
+            nn_curves = np.asarray([prod_curve(float(b)) for b in beta_grid])
+            sym_curves = np.asarray([
+                symbolic_production(jnp.asarray(dg_grid),
+                                    beta_to_k(jnp.asarray(b)))
+                for b in beta_grid])
+            emit(figures.dose_response_compare(dg_grid, nn_curves,
+                                               sym_curves, beta_grid),
+                 outdir, "dose_response_neural_symbolic.png")
+
+        # internal symbolic fits: per-subject k on the combined cohort
+        g_all = np.concatenate([train.glucose, test.glucose])
+        c_all = np.concatenate([train.cpeptide, test.cpeptide])
+        a_all = np.concatenate([train.ages, test.ages])
+        t2_all = np.concatenate([train.t2dm, test.t2dm])
+        types_all = np.concatenate([train.types, test.types])
+        cohort_all = build_cohort(g_all, train.timepoints, c_all, a_all,
+                                  t2_all)
+        from conditional_ude_tpu.models.cpeptide import simulate
+
+        ks, sig, obj = map(np.asarray, fit_k_sigma(
+            cohort_all, lbfgs_iters=re_iters))
+
+        def sym_sims(saveat):
+            def one(k, ind):
+                return simulate(sym, {"k": k}, ind,
+                                jnp.asarray(saveat, jnp.float32),
+                                solver="rk4", substeps=4).ys[:, 0]
+
+            return np.asarray(jax.vmap(one)(jnp.asarray(ks, jnp.float32),
+                                            cohort_all.individuals))
+
+        sims = sym_sims(dense_t)
+        err = np.mean((sym_sims(train.timepoints) - c_all) ** 2, axis=1)
+        emit(figures.model_fit_panels(
+            train.timepoints, c_all, sims, types_all,
+            indices=median_index_per_type(types_all, err), dense_t=dense_t),
+            outdir, "symbolic_regression_internal.png")
+        fp_all = np.concatenate([train.first_phase, test.first_phase])
+        emit(figures.correlation_scatter(
+            ks, fp_all, types_all, xlabel="k", ylabel="First-phase clamp",
+            rho=spearman(ks, fp_all)),
+            outdir, "symbolic_correlation.png")
+
+        # Pareto front of the GP symbolic-regression search
+        front_csv = args.results / "symbolic_regression_result.csv"
+        if front_csv.exists():
+            with front_csv.open() as f:
+                rows = list(csv.DictReader(f))
+            emit(figures.pareto_front([int(r["complexity"]) for r in rows],
+                                      [float(r["loss"]) for r in rows]),
+                 outdir, "symbolic_regression_pareto.png")
+        else:
+            skip("symbolic_regression_pareto.png", f"{front_csv} missing")
+
+    # -------------------------------------------------------------- external
+    if want("external"):
+        from conditional_ude_tpu.data.fujita import load_fujita
+        from conditional_ude_tpu.models.symbolic import (
+            fit_k_sigma,
+            symbolic_model,
+        )
+
+        fuj = load_fujita(args.data_dir / "fujita_csv")
+        cohort_f = build_cohort(fuj.glucose, fuj.timepoints, fuj.cpeptide,
+                                fuj.ages, np.zeros(len(fuj.ages), bool))
+        from conditional_ude_tpu.models.cpeptide import simulate
+
+        ks_f, _, _ = map(np.asarray, fit_k_sigma(cohort_f,
+                                                 lbfgs_iters=re_iters))
+        dense_f = np.arange(fuj.timepoints[0], fuj.timepoints[-1] + 0.1,
+                            2.0).astype(np.float32)
+        sym = symbolic_model()
+
+        def one(k, ind):
+            return simulate(sym, {"k": k}, ind,
+                            jnp.asarray(dense_f, jnp.float32),
+                            solver="rk4", substeps=4).ys[:, 0]
+
+        sims_f = np.asarray(jax.vmap(one)(jnp.asarray(ks_f, jnp.float32),
+                                          cohort_f.individuals))
+        emit(figures.quantile_fit_band(dense_f, sims_f,
+                                       fuj.timepoints, fuj.cpeptide,
+                                       title="Fujita external cohort"),
+             outdir, "model_fit_external.png")
+
+    # -------------------------------------------------------------- ablation
+    abl_csv = args.results / "exp05_ablation.csv"
+    if want("ablation") and abl_csv.exists():
+        with abl_csv.open() as f:
+            rows = list(csv.DictReader(f))
+        emit(figures.ablation_curve(
+            [float(r["fraction"]) for r in rows],
+            [float(r["test_sse_median"]) for r in rows]),
+            outdir, "performance_less_data.png")
+    elif want("ablation"):
+        skip("performance_less_data.png", f"{abl_csv} missing")
+
+    # ----------------------------------------------------------- suppression
+    sup_path = art / "suppression_lambda=0.1.npz"
+    if want("suppression") and sup_path.exists():
+        from conditional_ude_tpu.models.suppression import (
+            generate_data,
+            simulate_population,
+            suppression_net,
+        )
+
+        z = np.load(sup_path)
+        best_r = int(np.argmin(z["objectives"]))
+        nn_sup = jnp.asarray(z["nn_params"][best_r])
+        thetas = np.asarray(z["thetas"][best_r])
+        gt = np.asarray(z["gt_train"])
+        # regenerate the training data with the sweep's seed chain
+        # (experiments/exp_suppression.py:47-57)
+        rng = np.random.default_rng(27052023)
+        tp = np.linspace(0.0, 30.0, 8)
+        data_train, gt_regen = generate_data(
+            [0.5, 2.5, 5.0, 7.5, 10.0, 12.5], [15, 3, 3, 3, 3, 10], tp,
+            noise_multiplicative=0.1, rng=rng)
+        net_sup = suppression_net(depth=5, width=3)
+        emit(figures.scatter_compare(gt, thetas, "ground-truth p₄",
+                                     "fitted θ", identity=False),
+             outdir, "suppression_correlation.png")
+        if np.allclose(gt, gt_regen):
+            dense_s = np.linspace(0.0, 30.0, 61).astype(np.float32)
+            u0s = jnp.asarray(data_train[:, :, 0], jnp.float32)  # [N, 3] @ t0
+            ys = np.asarray(simulate_population(
+                net_sup, nn_sup, jnp.asarray(thetas, jnp.float32), u0s,
+                jnp.asarray(dense_s)).ys)
+            idx = np.argsort(gt)[[0, len(gt) // 2, len(gt) - 1]]
+            plt_types = np.asarray(["NGT"] * len(gt))
+            fig = figures.model_fit_panels(
+                tp, data_train[:, 2, :], ys[:, :, 2], plt_types,
+                indices=idx, dense_t=dense_s)
+            for ax in fig.axes:
+                ax.set_ylabel("state u₃")
+            emit(fig, outdir, "suppression_model_fit.png")
+        else:
+            skip("suppression_model_fit.png",
+                 "artifact ground truth does not match regenerated data")
+    elif want("suppression"):
+        skip("suppression section", f"{sup_path} missing")
+
+    # ------------------------------------------------------------------ saem
+    saem_path = art / "saem_fit.npz"
+    if want("saem") and saem_path.exists():
+        z = np.load(saem_path)
+        emit(figures.scatter_compare(z["beta_mle"], z["beta_map"],
+                                     "MLE β", "MAP β",
+                                     types=np.concatenate(
+                                         [train.types, test.types])),
+             outdir, "saem_map_vs_mle.png")
+        if "nll_trace" in z:
+            emit(figures.loss_trace(z["nll_trace"], ylabel="population NLL"),
+                 outdir, "saem_nll_trace.png")
+        if "acceptance_trace" in z:
+            fig = figures.loss_trace(z["acceptance_trace"],
+                                     ylabel="MCMC acceptance")
+            fig.axes[0].set_yscale("linear")
+            emit(fig, outdir, "saem_acceptance_trace.png")
+    elif want("saem"):
+        skip("saem section", f"{saem_path} missing (rerun exp06)")
+
+    write_metrics(args.results / "exp_figures_manifest.json",
+                  {"rendered": RENDERED, "count": len(RENDERED)})
+
+
+if __name__ == "__main__":
+    main()
