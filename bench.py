@@ -82,10 +82,10 @@ def main():
     # model class (see ops/rk4.py, TrainConfig)
     if jax.default_backend() == "tpu":
         from conditional_ude_tpu.ops.pallas_rk4 import (
-            screen_population_pallas,
+            population_sse_pallas,
         )
 
-        batched = jax.jit(lambda nn, b: screen_population_pallas(
+        batched = jax.jit(lambda nn, b: population_sse_pallas(
             net, nn, b, cohort, substeps=8))
     else:
         batched = jax.jit(jax.vmap(

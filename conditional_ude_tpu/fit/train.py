@@ -160,12 +160,12 @@ def train_conditional(
                                        mesh, substeps=cfg.substeps)
     elif use_pallas:
         from conditional_ude_tpu.ops.pallas_rk4 import (
-            screen_population_pallas,
+            population_sse_pallas,
         )
 
         parts = []
         for i in range(0, g, cfg.screen_chunk):
-            parts.append(screen_population_pallas(
+            parts.append(population_sse_pallas(
                 model.net, nn_inits[i:i + cfg.screen_chunk],
                 betas_init[i:i + cfg.screen_chunk, :, 0], cohort,
                 substeps=cfg.substeps))

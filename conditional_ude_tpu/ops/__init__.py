@@ -7,6 +7,7 @@ from conditional_ude_tpu.ops.rk4 import solve_rk4
 from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize, LBFGSResult
 from conditional_ude_tpu.ops.pallas_rk4 import (
     cohort_sse_pallas,
+    population_sse_pallas,
     screen_population_pallas,
 )
 from conditional_ude_tpu.ops.pallas_tsit5 import cohort_sse_tsit5_pallas
@@ -20,5 +21,6 @@ __all__ = [
     "LBFGSResult",
     "cohort_sse_pallas",
     "cohort_sse_tsit5_pallas",
+    "population_sse_pallas",
     "screen_population_pallas",
 ]

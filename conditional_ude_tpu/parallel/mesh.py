@@ -113,11 +113,11 @@ def sharded_screen_pallas(net, nn_inits, betas, cohort, mesh: Mesh,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from conditional_ude_tpu.ops.pallas_rk4 import screen_population_pallas
+    from conditional_ude_tpu.ops.pallas_rk4 import population_sse_pallas
 
     interpret = jax.default_backend() != "tpu"
     fn = shard_map(
-        lambda nn_, b_: screen_population_pallas(
+        lambda nn_, b_: population_sse_pallas(
             net, nn_, b_, cohort, substeps=substeps, interpret=interpret),
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
