@@ -102,6 +102,33 @@ def load_ohashi(
     return full.subset(train_idx), full.subset(test_idx)
 
 
+CLAMP_INSULIN_TIMEPOINTS = np.array([0.0, 5.0, 10.0, 15.0, 60.0, 75.0, 90.0])
+
+
+def load_clamp_insulin(
+    csv_dir: str | Path,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Clamp-test insulin curves for the illustration figure
+    (``00-prepare-data.jl:138-167``): C-IRI at 0/5/10/15/60/75/90 min for
+    the 117 retained subjects.
+
+    Returns ``(timepoints[7], insulin[N, 7] mU/L, types[N])``.
+    """
+    csv_dir = Path(csv_dir)
+    ogtt = pd.read_csv(csv_dir / "ohashi_OGTT.csv", sep=";").dropna()
+    subject_numbers = ogtt["No"].to_numpy()
+    info = pd.read_csv(csv_dir / "ohashi_subjectinfo.csv", sep=";")
+    info = info[info["No"].isin(subject_numbers)]
+    types = info["type"].to_numpy(dtype=str)
+
+    blood = pd.read_csv(csv_dir / "ohashi_clamp_blood.csv", sep=";",
+                        decimal=",")
+    blood = blood[blood["No"].isin(subject_numbers)]
+    cols = [f"C-IRI({int(t)})" for t in CLAMP_INSULIN_TIMEPOINTS]
+    insulin = blood[cols].to_numpy(dtype=float)
+    return CLAMP_INSULIN_TIMEPOINTS.copy(), insulin, types
+
+
 def save_npz(path: str | Path, train: OhashiSplit, test: OhashiSplit) -> None:
     arrays = {}
     for tag, split in (("train", train), ("test", test)):

@@ -134,6 +134,32 @@ def data_overview(timepoints, glucose, cpeptide, types):
     return fig
 
 
+def clamp_insulin_illustration(timepoints, insulin, types):
+    """Mean ± SEM clamp insulin curves for NGT vs T2DM with the 1st/2nd
+    phase cut at 10 min (``00-prepare-data.jl:145-165``)."""
+    plt = _plt()
+    insulin = np.asarray(insulin)
+    fig, ax = plt.subplots(figsize=(3.6, 3.2))
+    for t in ("NGT", "T2DM"):
+        sel = np.asarray(types) == t
+        if not sel.any():
+            continue
+        m = insulin[sel].mean(axis=0)
+        sem = insulin[sel].std(axis=0) / np.sqrt(sel.sum())
+        ax.fill_between(timepoints, np.full_like(m, m[0]), m,
+                        color=COLORS[t], alpha=0.3)
+        ax.errorbar(timepoints, m, yerr=sem, color=COLORS[t],
+                    marker=MARKERS[t], ms=4, lw=1.5, capsize=2, label=t)
+    ax.axvline(10, color="k", ls="--", lw=0.8)
+    ylim = ax.get_ylim()
+    ax.text(2, 0.9 * ylim[1], "1st phase", fontsize=7)
+    ax.text(45, 0.9 * ylim[1], "2nd phase", fontsize=7)
+    ax.set_xlabel("time (min)")
+    ax.set_ylabel("Insulin (mU/L)")
+    ax.legend(fontsize=7, loc="center right")
+    return fig
+
+
 def fit_grid(timepoints, observations, dense_t, simulations, types,
              ncols: int = 7, titles=None):
     """All-subjects grid of fits (``model_fit_test_all``,

@@ -86,6 +86,12 @@ def main():
         emit(figures.data_overview(train.timepoints, g_all, c_all, t_all),
              outdir, "data_overview.png")
 
+        from conditional_ude_tpu.data.ohashi import load_clamp_insulin
+
+        tp_c, ins, types_c = load_clamp_insulin(args.data_dir / "ohashi_csv")
+        emit(figures.clamp_insulin_illustration(tp_c, ins, types_c),
+             outdir, "illustration_clamp_insulin.png")
+
     # ------------------------------------------------------------------ cude
     cude_path = art / "cude_neural_parameters.npz"
     nn_best = b_train = b_test = None

@@ -46,6 +46,20 @@ def test_fujita_etl_invariants():
     assert 2 < f.glucose.min() and f.glucose.max() < 20
 
 
+def test_clamp_insulin_loader():
+    from conditional_ude_tpu.data.ohashi import load_clamp_insulin
+
+    tp, insulin, types = load_clamp_insulin(CSV_DIR / "ohashi_csv")
+    # 117 retained subjects × 7 clamp timepoints (00-prepare-data.jl:138-143)
+    assert insulin.shape == (117, 7)
+    assert list(tp) == [0.0, 5.0, 10.0, 15.0, 60.0, 75.0, 90.0]
+    assert set(np.unique(types)) == {"NGT", "IGT", "T2DM"}
+    assert np.isfinite(insulin).all() and insulin.min() >= 0
+    # first-phase insulin burst: NGT mean at 5 min well above baseline
+    ngt = insulin[types == "NGT"]
+    assert ngt[:, 1].mean() > 2 * ngt[:, 0].mean()
+
+
 def test_van_cauter_constants():
     import jax.numpy as jnp
 
