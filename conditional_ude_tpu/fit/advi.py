@@ -54,9 +54,15 @@ def advi(
     Maximizes ``E_q[log_joint(z)] + H[q]`` with q = N(μ, diag e^{2ρ}) via
     the reparameterization trick (``z = μ + e^ρ ε``) and Adam; the whole
     optimization is one ``lax.scan`` (fixed shapes, jit/vmap-friendly).
-    Non-finite log-joint samples are masked out of the Monte-Carlo mean so
-    a diverged ODE solve cannot poison the gradient (the reference's
-    retcode ⇒ ``Inf`` robustness, ``src/parameter-estimation.jl:61-64``).
+
+    Divergence robustness (the reference's retcode ⇒ ``Inf`` semantics,
+    ``src/parameter-estimation.jl:61-64``): per-sample values AND per-sample
+    gradients are computed with ``vmap(value_and_grad)`` and non-finite
+    samples are dropped from the Monte-Carlo average — one diverged ODE
+    solve cannot poison the step for the finite samples (a ``where`` on the
+    averaged loss alone would still backpropagate NaN through the diverged
+    trajectory).  The ELBO gradient is assembled explicitly:
+    ``∂/∂μ = E[∂logp/∂z]``, ``∂/∂ρ = E[∂logp/∂z · ε]·e^ρ + 1``.
     """
     import optax
 
@@ -66,29 +72,26 @@ def advi(
     # basin, small late steps so the MC noise doesn't rattle the optimum
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.02))
 
-    def neg_elbo(params, k):
-        mu, rho = params
+    def step(carry, k):
+        (mu, rho), opt_state = carry
         eps = jax.random.normal(k, (n_samples,) + mu.shape, mu.dtype)
         zs = mu + jnp.exp(rho) * eps
-        lp = jax.vmap(log_joint)(zs)
-        lp = jnp.where(jnp.isfinite(lp), lp, -1e30)
+        lp, gz = jax.vmap(jax.value_and_grad(log_joint))(zs)
+        ok = jnp.isfinite(lp) & jnp.isfinite(gz).all(axis=-1)
+        w = ok.astype(mu.dtype)
+        w = w / jnp.maximum(w.sum(), 1.0)
+        gz = jnp.where(ok[:, None], gz, 0.0)
+        g_mu = -jnp.einsum("s,sp->p", w, gz)
+        g_rho = -jnp.einsum("s,sp->p", w, gz * eps) * jnp.exp(rho) - 1.0
+        updates, opt_state = opt.update((g_mu, g_rho), opt_state, (mu, rho))
+        mu, rho = optax.apply_updates((mu, rho), updates)
         entropy = jnp.sum(rho + 0.5 * (_LOG2PI + 1.0))
-        return -(jnp.mean(lp) + entropy)
-
-    def step(carry, k):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(neg_elbo)(params, k)
-        # NaN-robust update (a fully-failed sample batch yields zero grads)
-        grads = jax.tree.map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), -loss
+        elbo = jnp.sum(w * jnp.where(ok, lp, 0.0)) + entropy
+        return ((mu, rho), opt_state), elbo
 
     keys = jax.random.split(key, steps)
-    (params, _), elbos = jax.lax.scan(
+    ((mu, rho), _), elbos = jax.lax.scan(
         step, ((mu0, rho0), opt.init((mu0, rho0))), keys)
-    mu, rho = params
     return ADVIResult(mean=mu, log_std=rho, elbo_trace=elbos)
 
 

@@ -168,8 +168,7 @@ def fit_grid(timepoints, observations, dense_t, simulations, types,
     n = len(types)
     nrows = int(np.ceil(n / ncols))
     fig, axes = plt.subplots(nrows, ncols, figsize=(1.7 * ncols, 1.6 * nrows),
-                             sharex=True, sharey=True)
-    axes = np.atleast_2d(axes)
+                             sharex=True, sharey=True, squeeze=False)
     for i in range(nrows * ncols):
         ax = axes[i // ncols, i % ncols]
         if i >= n:

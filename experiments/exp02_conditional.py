@@ -75,7 +75,7 @@ def main():
             res = train_conditional(model, cohort_fit,
                                     jax.random.key(args.seed), cfg)
         return {"nn_params": res.nn_params, "betas": res.betas,
-                "objectives": res.objectives}
+                "objectives": res.objectives, "idx_fit": np.asarray(idx_fit)}
 
     art = cached(args.artifacts / "cude_neural_parameters.npz", compute,
                  retrain=args.retrain,
@@ -129,6 +129,17 @@ def main():
     ci = find_confidence_intervals(prof, "cantelli95")
     census = classify_identifiability(ci)
     census_counts = {c: int((census == c).sum()) for c in np.unique(census)}
+
+    # persist the canonical (β, σ) fits + profile scans so downstream
+    # consumers (exp_figures, exp_advi) reuse them instead of re-fitting
+    from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(args.artifacts / "cude_fit.npz", {
+        "beta_train": b_train, "sigma_train": s_train, "sse_train": sse_train,
+        "beta_test": b_test, "sigma_test": s_test, "sse_test": sse_test,
+        "profile_grid": np.asarray(prof.grid),
+        "profile_values": np.asarray(prof.values),
+    }, metadata={"script": "exp02", "best_model_index": int(best),
+                 "bounds": [float(lb), float(ub)]})
 
     # dose-response export for symbolic regression (:1080-1112)
     beta_grid = np.quantile(b_train, np.linspace(0.05, 0.95, 30))

@@ -87,6 +87,11 @@ def main():
     ci = find_confidence_intervals(prof, "cantelli95")
     census = classify_identifiability(ci)
 
+    from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(args.artifacts / "symreg_fit.npz", {
+        "ks": ks, "sigmas": sigmas, "objectives": objs,
+    }, metadata={"script": "exp03"})
+
     write_metrics(args.results / "exp03_metrics.json", {
         "k_mean": float(ks.mean()),
         "k_median": float(np.median(ks)),

@@ -41,6 +41,11 @@ def main():
     sse_vals = (objs - (n_t / 2) * np.log(sigmas**2)) * (2 * sigmas**2)
     mse = sse_vals / n_t
 
+    from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(args.artifacts / "symreg_external_fit.npz", {
+        "ks": ks, "sigmas": sigmas, "objectives": objs,
+    }, metadata={"script": "exp04"})
+
     write_metrics(args.results / "exp04_metrics.json", {
         "n_subjects": int(n),
         "k_mean": float(ks.mean()),

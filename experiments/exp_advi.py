@@ -60,8 +60,12 @@ def main():
     else:
         z = np.load(cude_path)
         candidates, betas_cand = z["nn_params"], z["betas"]
-        rng = np.random.default_rng(args.seed)
-        idx_fit, _ = stratified_split(rng, train.types, 0.7)
+        if "idx_fit" in z:
+            # the exact split the restart β's were fit on (seed-proof)
+            idx_fit = np.asarray(z["idx_fit"])
+        else:
+            rng = np.random.default_rng(args.seed)
+            idx_fit, _ = stratified_split(rng, train.types, 0.7)
         if betas_cand.shape[1] != len(idx_fit):  # smoke artifacts
             idx_fit = np.arange(betas_cand.shape[1])
 

@@ -88,9 +88,14 @@ def main():
 
         from conditional_ude_tpu.data.ohashi import load_clamp_insulin
 
-        tp_c, ins, types_c = load_clamp_insulin(args.data_dir / "ohashi_csv")
-        emit(figures.clamp_insulin_illustration(tp_c, ins, types_c),
-             outdir, "illustration_clamp_insulin.png")
+        try:
+            tp_c, ins, types_c = load_clamp_insulin(
+                args.data_dir / "ohashi_csv")
+        except FileNotFoundError as e:
+            skip("illustration_clamp_insulin.png", str(e))
+        else:
+            emit(figures.clamp_insulin_illustration(tp_c, ins, types_c),
+                 outdir, "illustration_clamp_insulin.png")
 
     # ------------------------------------------------------------------ cude
     cude_path = art / "cude_neural_parameters.npz"
@@ -108,20 +113,34 @@ def main():
             )["best_model_index"]
         except Exception:
             best = int(np.argmin(z["objectives"]))
+        best = min(int(best), candidates.shape[0] - 1)
         nn_best = jnp.asarray(candidates[best])
         betas_best = betas_cand[best].ravel()
         lb = betas_best.min() - 0.1 * abs(betas_best.min())
         ub = betas_best.max() + 0.1 * abs(betas_best.max())
 
-        from conditional_ude_tpu.fit.train import fit_betas_sigma
+        # prefer the canonical (β, σ) fits persisted by exp02 over
+        # re-fitting here (identical settings, no duplicated compute)
+        fit_path = art / "cude_fit.npz"
+        saved_prof = None
+        if fit_path.exists():
+            zf = np.load(fit_path)
+            b_train, s_train = zf["beta_train"], zf["sigma_train"]
+            b_test, s_test = zf["beta_test"], zf["sigma_test"]
+            if "profile_values" in zf and len(b_test) == cohort_test.n:
+                saved_prof = (zf["profile_grid"], zf["profile_values"])
+        if (b_train is None or len(b_train) != cohort_train.n
+                or len(b_test) != cohort_test.n):
+            from conditional_ude_tpu.fit.train import fit_betas_sigma
 
-        def reestimate(c):
-            return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
-                                   bounds=(float(lb), float(ub)),
-                                   lbfgs_iters=re_iters)
+            def reestimate(c):
+                return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
+                                       bounds=(float(lb), float(ub)),
+                                       lbfgs_iters=re_iters)
 
-        b_train, s_train, o_train = map(np.asarray, reestimate(cohort_train))
-        b_test, s_test, o_test = map(np.asarray, reestimate(cohort_test))
+            b_train, s_train, _ = map(np.asarray, reestimate(cohort_train))
+            b_test, s_test, _ = map(np.asarray, reestimate(cohort_test))
+            saved_prof = None
 
         def dense_sims(cohort, b):
             res = simulate_cohort(model, nn_best, jnp.asarray(b)[:, None],
@@ -194,26 +213,35 @@ def main():
         emit(figures.dose_response(dg_grid, nn_curves, beta_grid),
              outdir, "dose_response.png")
 
-        # likelihood-profile curves (supplementary/likelihood_curves)
-        from conditional_ude_tpu.analysis import (
-            THRESHOLDS,
-            cohort_beta_profiles,
-        )
+        # likelihood-profile curves (supplementary/likelihood_curves) —
+        # from exp02's canonical 10k-step scan when available
+        from conditional_ude_tpu.analysis import THRESHOLDS
 
-        prof = cohort_beta_profiles(model, nn_best, cohort_test,
-                                    sigmas=jnp.asarray(s_test),
-                                    lower=float(lb) - 1.0,
-                                    upper=float(ub) + 1.0, steps=prof_steps)
-        emit(figures.likelihood_curves(np.asarray(prof.grid),
-                                       np.asarray(prof.values),
+        if saved_prof is not None:
+            p_grid, p_values = saved_prof
+        else:
+            from conditional_ude_tpu.analysis import cohort_beta_profiles
+
+            prof = cohort_beta_profiles(model, nn_best, cohort_test,
+                                        sigmas=jnp.asarray(s_test),
+                                        lower=float(lb) - 1.0,
+                                        upper=float(ub) + 1.0,
+                                        steps=prof_steps)
+            p_grid, p_values = np.asarray(prof.grid), np.asarray(prof.values)
+        emit(figures.likelihood_curves(p_grid, p_values,
                                        THRESHOLDS["cantelli95"],
                                        types=test.types),
              outdir, "likelihood_curves.png")
 
         # per-candidate β grids (supplementary/other_betas) — training β's
-        # of every restart vs the fit-split first-phase index
-        rng = np.random.default_rng(args.seed)
-        idx_fit, _ = stratified_split(rng, train.types, 0.7)
+        # of every restart vs the fit-split first-phase index (the split
+        # indices are read from the artifact when present so a seed change
+        # cannot silently misalign β's and subjects)
+        if "idx_fit" in z:
+            idx_fit = np.asarray(z["idx_fit"])
+        else:
+            rng = np.random.default_rng(args.seed)
+            idx_fit, _ = stratified_split(rng, train.types, 0.7)
         bc = betas_cand[..., 0] if betas_cand.ndim == 3 else betas_cand
         if bc.shape[-1] == len(idx_fit):
             emit(figures.candidate_beta_grid(bc, train.first_phase[idx_fit]),
@@ -281,8 +309,12 @@ def main():
                                   t2_all)
         from conditional_ude_tpu.models.cpeptide import simulate
 
-        ks, sig, obj = map(np.asarray, fit_k_sigma(
-            cohort_all, lbfgs_iters=re_iters))
+        sym_fit = art / "symreg_fit.npz"
+        if sym_fit.exists() and np.load(sym_fit)["ks"].shape[0] == len(t2_all):
+            ks = np.load(sym_fit)["ks"]
+        else:
+            ks, _, _ = map(np.asarray, fit_k_sigma(
+                cohort_all, lbfgs_iters=re_iters))
 
         def sym_sims(saveat):
             def one(k, ind):
@@ -329,8 +361,13 @@ def main():
                                 fuj.ages, np.zeros(len(fuj.ages), bool))
         from conditional_ude_tpu.models.cpeptide import simulate
 
-        ks_f, _, _ = map(np.asarray, fit_k_sigma(cohort_f,
-                                                 lbfgs_iters=re_iters))
+        ext_fit = art / "symreg_external_fit.npz"
+        if ext_fit.exists() and \
+                np.load(ext_fit)["ks"].shape[0] == len(fuj.ages):
+            ks_f = np.load(ext_fit)["ks"]
+        else:
+            ks_f, _, _ = map(np.asarray, fit_k_sigma(cohort_f,
+                                                     lbfgs_iters=re_iters))
         dense_f = np.arange(fuj.timepoints[0], fuj.timepoints[-1] + 0.1,
                             2.0).astype(np.float32)
         sym = symbolic_model()
@@ -424,8 +461,20 @@ def main():
     elif want("saem"):
         skip("saem section", f"{saem_path} missing (rerun exp06)")
 
-    write_metrics(args.results / "exp_figures_manifest.json",
-                  {"rendered": RENDERED, "count": len(RENDERED)})
+    # merge with any previous manifest so partial --sections runs add to
+    # the gallery record instead of replacing it
+    manifest_path = args.results / "exp_figures_manifest.json"
+    rendered = set(RENDERED)
+    try:
+        import json
+
+        prev = json.loads(manifest_path.read_text())["rendered"]
+        rendered |= {f for f in prev if (outdir / f).exists()}
+    except Exception:
+        pass
+    rendered = sorted(rendered)
+    write_metrics(manifest_path,
+                  {"rendered": rendered, "count": len(rendered)})
 
 
 if __name__ == "__main__":
