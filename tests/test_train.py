@@ -79,6 +79,36 @@ def test_fit_betas_recovers_conditionals(rng):
     np.testing.assert_allclose(np.asarray(b2), betas_true, atol=0.1)
 
 
+def test_train_conditional_two_parameters(rng):
+    """The reference supports n_conditional_parameters > 1
+    (``src/parameter-estimation.jl:315,356``): joint training with c = 2
+    must produce [R, N, 2] betas and finite objectives."""
+    n = 6
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    net = chain(4, 2, "tanh", input_dims=3)   # [ΔG, β1, β2]
+    model = CPeptideModel(kind="conditional", net=net)
+    glucose = 5.0 + np.abs(rng.uniform(0, 5, (n, 5)))
+    ages = rng.uniform(30, 70, n)
+    nn_true = net.init(jax.random.key(5)) * 1.5
+    betas_true = jnp.asarray(
+        rng.uniform(-1.5, -0.5, (n, 2)).astype(np.float32))
+    c0 = build_cohort(glucose, tp, np.full((n, 5), 0.8, np.float32), ages,
+                      np.zeros(n, bool))
+    res0 = simulate_cohort(model, nn_true, betas_true, c0)
+    assert bool(res0.success.all())
+    cohort = build_cohort(glucose, tp, np.asarray(res0.ys[:, :, 0]), ages,
+                          np.zeros(n, bool))
+
+    cfg = TrainConfig(initial_guesses=64, selected_initials=2,
+                      adam_iters=120, lbfgs_iters=120, n_conditional=2,
+                      screen_chunk=64)
+    res = train_conditional(model, cohort, jax.random.key(1), cfg)
+    assert res.betas.shape == (2, n, 2)
+    assert np.isfinite(float(res.objectives[0]))
+    var = float(np.var(np.asarray(cohort.cpeptide)))
+    assert float(res.objectives[0]) < var * 5
+
+
 def test_evaluate_model_prefers_true_weights(rng):
     model, net, cohort, nn_true, betas_true = \
         _synthetic_conditional_cohort(rng)
