@@ -69,7 +69,7 @@ def main():
             res = train_conditional(model, cohort_fit,
                                     jax.random.key(args.seed), cfg)
         return {"nn_params": res.nn_params, "betas": res.betas,
-                "objectives": res.objectives}
+                "objectives": res.objectives, "idx_fit": np.asarray(idx_fit)}
 
     art = cached(args.artifacts / "cude_covariate_neural_parameters.npz",
                  compute, retrain=args.retrain,
@@ -117,6 +117,14 @@ def main():
                                 steps=steps)
     ci = find_confidence_intervals(prof, "raue95")
     census = classify_identifiability(ci)
+
+    # persist the canonical covariate fits for the figure gallery
+    from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(args.artifacts / "cude_covariate_fit.npz", {
+        "beta_train": b_train, "sigma_train": s_train, "sse_train": sse_train,
+        "beta_test": b_test, "sigma_test": s_test, "sse_test": sse_test,
+    }, metadata={"script": "exp07", "best_model_index": int(best),
+                 "bounds": [float(lb), float(ub)]})
 
     write_metrics(args.results / "exp07_metrics.json", {
         "best_model_index": best,

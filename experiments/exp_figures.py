@@ -251,6 +251,47 @@ def main():
     elif want("cude"):
         skip("cude section", f"{cude_path} missing")
 
+    # ------------------------------------------------------------- covariate
+    cov_fit = art / "cude_covariate_fit.npz"
+    cov_art = art / "cude_covariate_neural_parameters.npz"
+    if want("covariate") and cov_fit.exists() and cov_art.exists():
+        zc = np.load(cov_fit)
+        bc_train, bc_test = zc["beta_train"], zc["beta_test"]
+        if len(bc_train) == cohort_train.n and len(bc_test) == cohort_test.n:
+            bc_all = np.concatenate([bc_train, bc_test])
+            types_all = np.concatenate([train.types, test.types])
+            fp_all = np.concatenate([train.first_phase, test.first_phase])
+            emit(figures.correlation_scatter(
+                np.exp(bc_all), fp_all, types_all, xlabel="exp(β) (covariate)",
+                ylabel="First-phase clamp",
+                rho=spearman(np.exp(bc_all), fp_all)),
+                outdir, "covariate_correlation.png")
+
+            from conditional_ude_tpu.utils.checkpoint import load_checkpoint
+
+            _, meta = load_checkpoint(cov_fit)
+            best_c = int(meta.get("best_model_index", 0))
+            zca = np.load(cov_art)
+            best_c = min(best_c, zca["nn_params"].shape[0] - 1)
+            cov_net = chain(4, 2, "tanh", input_dims=3)
+            cov_model = CPeptideModel(kind="conditional_covariate",
+                                      net=cov_net)
+            nn_cov = jnp.asarray(zca["nn_params"][best_c])
+            sims_c = np.asarray(simulate_cohort(
+                cov_model, nn_cov, jnp.asarray(bc_test)[:, None],
+                cohort_test, saveat=jnp.asarray(dense_t),
+                solver="rk4", substeps=4).ys[:, :, 0])
+            err_c = np.asarray(zc["sse_test"]) / len(test.timepoints)
+            emit(figures.model_fit_panels(
+                test.timepoints, test.cpeptide, sims_c, test.types,
+                indices=median_index_per_type(test.types, err_c),
+                dense_t=dense_t), outdir,
+                "model_fit_test_covariate_median.png")
+        else:
+            skip("covariate section", "fit sizes do not match the cohorts")
+    elif want("covariate"):
+        skip("covariate section", f"{cov_fit} missing (rerun exp07)")
+
     # ------------------------------------------------------------------- ude
     ude_path = art / "ude_neural_parameters.npz"
     if want("ude") and ude_path.exists():
