@@ -126,11 +126,13 @@ def main():
 
     # persist the fit for downstream figures (experiments/exp_figures.py)
     from conditional_ude_tpu.utils.checkpoint import save_checkpoint
+    thin = max(1, n_mh // 100)   # ≤100 kept samples per subject
     save_checkpoint(args.artifacts / "saem_fit.npz", {
         "nn_params": res.theta, "sigma": res.sigma, "omega": res.omega,
         "eta": res.eta, "beta_map": maps, "beta_mle": mles,
         "beta_posterior_mean": post_mean, "nll_trace": res.nll_trace,
         "acceptance_trace": res.acceptance_trace,
+        "beta_chains": np.asarray(chains[:, n_mh // 2::thin]),
     }, metadata={"script": "exp06"})
 
     write_metrics(args.results / "exp06_metrics.json", {

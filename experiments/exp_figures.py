@@ -499,6 +499,59 @@ def main():
                                      ylabel="MCMC acceptance")
             fig.axes[0].set_yscale("linear")
             emit(fig, outdir, "saem_acceptance_trace.png")
+
+        # posterior-predictive bands for the median-MAP subject per type
+        # (06-saem.jl posterior-predictive figures): simulate the subject
+        # under sampled posterior β's, draw the 5-95% band + observations
+        types_all = np.concatenate([train.types, test.types])
+        if "beta_chains" in z and z["beta_chains"].shape[0] == len(types_all):
+            g_all2 = np.concatenate([train.glucose, test.glucose])
+            c_all2 = np.concatenate([train.cpeptide, test.cpeptide])
+            a_all2 = np.concatenate([train.ages, test.ages])
+            cohort_all2 = build_cohort(g_all2, train.timepoints, c_all2,
+                                       a_all2, types_all == "T2DM")
+            saem_net = chain(4, 2, "tanh", input_dims=2)
+            saem_model = CPeptideModel(kind="conditional", net=saem_net)
+            nn_saem = jnp.asarray(z["nn_params"])
+            chains_b = z["beta_chains"]
+            maps_b = z["beta_map"]
+
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from conditional_ude_tpu.models.cpeptide import simulate
+
+            fig, axes = plt.subplots(1, 3, figsize=(7.5, 2.6), sharey=True)
+            for ax, t in zip(axes, ("NGT", "IGT", "T2DM")):
+                sel = np.flatnonzero(types_all == t)
+                if not sel.size:
+                    ax.axis("off")
+                    continue
+                i = int(sel[np.argsort(maps_b[sel])[len(sel) // 2]])
+                ind = jax.tree.map(lambda a: a[i], cohort_all2.individuals)
+
+                def sim_one(beta):
+                    return simulate(saem_model,
+                                    {"neural": nn_saem,
+                                     "conditional": beta}, ind,
+                                    jnp.asarray(dense_t, jnp.float32),
+                                    solver="rk4", substeps=4).ys[:, 0]
+
+                sols = np.asarray(jax.vmap(sim_one)(
+                    jnp.asarray(chains_b[i], jnp.float32)))
+                ax.fill_between(dense_t, np.quantile(sols, 0.05, axis=0),
+                                np.quantile(sols, 0.95, axis=0),
+                                color=figures.COLORS[t], alpha=0.3)
+                ax.plot(dense_t, np.median(sols, axis=0),
+                        color=figures.COLORS[t], lw=1.4)
+                ax.scatter(train.timepoints, c_all2[i], s=14, color="k",
+                           zorder=3)
+                ax.set_title(t, fontsize=9)
+                ax.set_xlabel("time (min)")
+            axes[0].set_ylabel("C-peptide (nmol/L)")
+            emit(fig, outdir, "saem_posterior_predictive.png")
     elif want("saem"):
         skip("saem section", f"{saem_path} missing (rerun exp06)")
 
