@@ -51,7 +51,6 @@ def symbolic_model() -> CPeptideModel:
     )
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6))
 def fit_k_sigma(
     cohort: Cohort,
     lbfgs_iters: int = 1000,
@@ -60,6 +59,7 @@ def fit_k_sigma(
     bounds: tuple[float, float] = (0.0, 1000.0),
     solver: str = "rk4",
     solver_max_steps: int = 256,
+    dispatch_chunk: int = 250,
 ):
     """Per-individual (k, σ) fit of the symbolic model over a whole cohort.
 
@@ -67,25 +67,44 @@ def fit_k_sigma(
     (reused for Fujita in ``04-symreg-external.jl:48-56``); the reference's
     bounds apply to both components of the (k, σ) vector.
 
+    The L-BFGS run is split into ``dispatch_chunk``-iteration dispatches
+    (history restarts at chunk boundaries): one 1000-iteration program over
+    the 14-timepoint Fujita solves is long enough to get the axon TPU
+    worker killed (same failure mode as ``SuppressionFitConfig
+    .dispatch_chunk``).
+
     Returns ``(ks[N], sigmas[N], objectives[N])``.
     """
     model = symbolic_model()
     lb, ub = bounds
 
-    def fit_one(ind, data):
-        def loss(x):
-            return sse_sigma(model, {"k": x[0]}, x[1], ind,
-                             cohort.timepoints, data, solver=solver,
-                             max_steps=solver_max_steps)
+    @partial(jax.jit, static_argnums=(1,))
+    def run_chunk(x0s, iters):
+        def fit_one(x0, ind, data):
+            def loss(x):
+                return sse_sigma(model, {"k": x[0]}, x[1], ind,
+                                 cohort.timepoints, data, solver=solver,
+                                 max_steps=solver_max_steps)
 
-        x0 = jnp.array([initial_k, initial_sigma], jnp.float32)
-        res = lbfgs_minimize(loss, x0,
-                             lower=jnp.full(2, lb, jnp.float32),
-                             upper=jnp.full(2, ub, jnp.float32),
-                             max_iters=lbfgs_iters)
-        return res.x[0], res.x[1], res.fval
+            res = lbfgs_minimize(loss, x0,
+                                 lower=jnp.full(2, lb, jnp.float32),
+                                 upper=jnp.full(2, ub, jnp.float32),
+                                 max_iters=iters)
+            return res.x, res.fval
 
-    return jax.vmap(fit_one)(cohort.individuals, cohort.cpeptide)
+        return jax.vmap(fit_one)(x0s, cohort.individuals, cohort.cpeptide)
+
+    xs = jnp.broadcast_to(
+        jnp.array([initial_k, initial_sigma], jnp.float32),
+        (cohort.n, 2))
+    fvals = None
+    done = 0
+    while done < lbfgs_iters:
+        step = min(dispatch_chunk, lbfgs_iters - done)
+        xs, fvals = run_chunk(xs, step)
+        jax.block_until_ready(fvals)
+        done += step
+    return xs[:, 0], xs[:, 1], fvals
 
 
 def k_profile_loss(cohort: Cohort, solver_max_steps: int = 256):

@@ -43,3 +43,28 @@ def scope(name: str, out=sys.stderr):
     finally:
         print(f"[{name}] {time.perf_counter() - t0:.2f}s", file=out,
               flush=True)
+
+
+def checked(fn, *, errors=None):
+    """Wrap a jittable function with ``jax.experimental.checkify`` NaN/div
+    policing for debugging (SURVEY §5: the rebuild's sanitizer tier).
+
+    Production losses deliberately propagate ``inf`` (solver failure ⇒
+    ``inf`` objective, matching the reference's retcode checks); this
+    wrapper is for pinpointing WHERE a non-finite value first appears when
+    that propagation hides the source.  Returns ``wrapped(*args) ->
+    (error, out)``; call ``error.throw()`` to raise with location info.
+
+    Usage::
+
+        err, loss = checked(lambda p: population_sse(model, p["neural"],
+                                                     p["conditional"],
+                                                     cohort))(params)
+        err.throw()   # raises if any NaN/inf/oob was produced
+    """
+    from jax.experimental import checkify
+
+    if errors is None:
+        errors = checkify.float_checks | checkify.index_checks
+
+    return checkify.checkify(fn, errors=errors)
