@@ -55,6 +55,34 @@ def test_sharded_loss_matches_unsharded(rng):
     np.testing.assert_allclose(float(plain), float(sharded), rtol=5e-3)
 
 
+def test_saem_sharded_matches_unsharded(rng):
+    """SAEM over an individuals-sharded cohort: XLA partitions the vmapped
+    MCMC kernel and inserts the collectives for the population-NLL sums;
+    results must match the single-device run to float noise."""
+    from conditional_ude_tpu.fit.saem import SAEMConfig, saem_cude
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+
+    n = 8
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    cohort = build_cohort(5 + rng.uniform(0, 5, (n, 5)), tp,
+                          0.5 + rng.uniform(0, 1.5, (n, 5)),
+                          rng.uniform(30, 70, n), np.zeros(n, bool))
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    nn0 = net.init(jax.random.key(0))
+    cfg = SAEMConfig(iterations=4, burnin=2, n_mcmc_steps=2)
+
+    plain = saem_cude(model, cohort, nn0, jax.random.key(1), cfg)
+    mesh = make_mesh(("individuals",))
+    sharded = saem_cude(model, shard_cohort(cohort, mesh, "individuals"),
+                        nn0, jax.random.key(1), cfg)
+    np.testing.assert_allclose(np.asarray(sharded.nll_trace),
+                               np.asarray(plain.nll_trace), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.theta),
+                               np.asarray(plain.theta), atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from conditional_ude_tpu.utils.checkpoint import (
         cached,
