@@ -349,20 +349,25 @@ def posterior_chains(
     n = data.shape[0]
     v_ll = jax.vmap(loglik, in_axes=(None, None, 0, 0, 0))
 
+    # carry the current state's log-likelihood: fixed effects are frozen
+    # here, so it only changes on acceptance — re-solving the ODEs for the
+    # unchanged state every step would double the chain's cost
     def step(carry, k_step):
-        rand, acc = carry
+        rand, ll_cur, acc = carry
         k_prop, k_u = jax.random.split(k_step)
         prop = rand + jax.random.normal(k_prop, (n,)) * proposal_std
+        ll_prop = v_ll(theta, sigma, prop, individuals, data)
         log_ratio = (_normal_logpdf(prop, eta, omega)
                      - _normal_logpdf(rand, eta, omega)
-                     + v_ll(theta, sigma, prop, individuals, data)
-                     - v_ll(theta, sigma, rand, individuals, data))
+                     + ll_prop - ll_cur)
         accept = jnp.log(jax.random.uniform(k_u, (n,))) < log_ratio
         rand = jnp.where(accept, prop, rand)
-        return (rand, acc + accept), rand
+        ll_cur = jnp.where(accept, ll_prop, ll_cur)
+        return (rand, ll_cur, acc + accept), rand
 
-    (_, acc), samples = lax.scan(
-        step, (init, jnp.zeros((n,), jnp.int32)),
+    ll0 = v_ll(theta, sigma, init, individuals, data)
+    (_, _, acc), samples = lax.scan(
+        step, (init, ll0, jnp.zeros((n,), jnp.int32)),
         jax.random.split(key, n_steps))
     return jnp.swapaxes(samples, 0, 1), acc / n_steps
 

@@ -87,11 +87,25 @@ class TrainResult(NamedTuple):
 def _chunked_map(fn, xs, chunk: int):
     """``lax.map``-style evaluation in bounded-memory chunks (host loop)."""
     n = jax.tree.leaves(xs)[0].shape[0]
+    jfn = jax.jit(jax.vmap(fn))   # one wrapper → one compile per shape
     outs = []
     for i in range(0, n, chunk):
         part = jax.tree.map(lambda a: a[i : i + chunk], xs)
-        outs.append(jax.jit(jax.vmap(fn))(part))
+        outs.append(jfn(part))
     return jnp.concatenate(outs)
+
+
+def _pallas_eligible(model: CPeptideModel, cfg: TrainConfig) -> bool:
+    """The fused kernels hard-code the canonical cUDE: tanh hidden layers,
+    softplus head, [ΔG, e^β] inputs, one conditional parameter, RK4."""
+    net = model.net
+    return (model.kind == "conditional"
+            and cfg.n_conditional == 1
+            and cfg.solver == "rk4"
+            and net is not None
+            and net.input_dims == 2
+            and all(a == "tanh" for a in net.activations)
+            and net.output_activation == "softplus")
 
 
 def train_conditional(
@@ -115,7 +129,7 @@ def train_conditional(
     """
     cfg = config
     n = cohort.n
-    g = cfg.initial_guesses
+    g = g_orig = cfg.initial_guesses
 
     # -- initial designs (NN: Glorot-uniform batch; β: Latin hypercube) -----
     nn_inits = model.net.init_batch(key, g)                       # [G, P]
@@ -143,14 +157,20 @@ def train_conditional(
     loss_kw = dict(solver=cfg.solver, max_steps=cfg.max_steps,
                    substeps=cfg.substeps)
 
+    pallas_ok = _pallas_eligible(model, cfg)
     use_pallas = cfg.use_pallas
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu" and mesh is None
-                      and model.kind == "conditional"
-                      and cfg.n_conditional == 1 and cfg.solver == "rk4")
+                      and pallas_ok)
+    elif use_pallas and not pallas_ok:
+        raise ValueError(
+            "use_pallas=True requires the canonical conditional model "
+            "(kind='conditional', 2-input net with tanh hidden layers and "
+            "a softplus head, n_conditional=1, solver='rk4'); this model "
+            "would be silently screened as a different network")
 
-    if (mesh is not None and use_pallas and model.kind == "conditional"
-            and cfg.n_conditional == 1 and "restarts" in mesh.shape):
+    if (mesh is not None and use_pallas and pallas_ok
+            and "restarts" in mesh.shape):
         # multi-chip screening: fused kernel under shard_map, restart
         # shards per chip, no cross-chip communication
         from conditional_ude_tpu.parallel.mesh import sharded_screen_pallas
@@ -179,6 +199,10 @@ def train_conditional(
                               cfg.screen_chunk)                    # [G]
 
     # -- top-k selection ------------------------------------------------------
+    # padded mesh lanes replicate the last real design — mask them out so
+    # duplicates cannot occupy several of the k refinement slots
+    if g != g_orig:
+        screen = screen.at[g_orig:].set(jnp.inf)
     k = cfg.selected_initials
     top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))[:k]
     nn0 = nn_inits[top]
@@ -195,35 +219,40 @@ def train_conditional(
     # -- Adam stage (vmapped over restarts, bounded-runtime dispatches) -------
     import optax
 
-    chunk = max(1, min(cfg.dispatch_chunk, cfg.adam_iters))
-
     def loss_tree(p):
         return population_sse(model, p["neural"], p["conditional"],
                               cohort, **loss_kw)
 
-    def run_adam_chunk(nn, b, state):
+    def run_adam_chunk(nn, b, state, iters):
         res = adam_minimize(loss_tree, {"neural": nn, "conditional": b},
-                            iters=chunk, lr=cfg.adam_lr, opt_state=state)
+                            iters=iters, lr=cfg.adam_lr, opt_state=state)
         return (res.x["neural"], res.x["conditional"], res.opt_state,
                 res.loss_trace)
 
-    adam_step = jax.jit(jax.vmap(run_adam_chunk))
+    adam_step = jax.jit(jax.vmap(run_adam_chunk, in_axes=(0, 0, 0, None)),
+                        static_argnums=3)
     state = jax.vmap(lambda nn, b: optax.adam(cfg.adam_lr).init(
         {"neural": nn, "conditional": b}))(nn0, b0)
     nn1, b1 = nn0, b0
-    trace_parts = []
+    trace_parts = [jnp.zeros((k, 0), jnp.float32)]
     done_iters = 0
+    # per-stage chunks: long single XLA programs through the axon tunnel
+    # get the worker killed, so each stage runs as ≤dispatch_chunk-iteration
+    # dispatches sized to its OWN budget (exactly adam_iters/lbfgs_iters
+    # total; no overrun on non-divisible budgets)
     while done_iters < cfg.adam_iters:
-        nn1, b1, state, tr = adam_step(nn1, b1, state)
+        step = min(max(1, cfg.dispatch_chunk), cfg.adam_iters - done_iters)
+        nn1, b1, state, tr = adam_step(nn1, b1, state, step)
         jax.block_until_ready(b1)
         trace_parts.append(tr)
-        done_iters += chunk
-    traces = jnp.concatenate(trace_parts, axis=1)[:, : cfg.adam_iters]
+        done_iters += step
+    traces = jnp.concatenate(trace_parts, axis=1)
 
-    # -- L-BFGS stage (flat joint vector per restart, chunked dispatches) -----
+    # -- L-BFGS stage (flat joint vector per restart, chunked dispatches;
+    # history restarts at chunk boundaries) -----------------------------------
     p_nn = nn1.shape[-1]
 
-    def run_lbfgs_chunk(nn, b):
+    def run_lbfgs_chunk(nn, b, iters):
         x0 = jnp.concatenate([nn, b.reshape(-1)])
 
         def flat_loss(x):
@@ -231,17 +260,25 @@ def train_conditional(
                                   x[p_nn:].reshape(n, cfg.n_conditional),
                                   cohort, **loss_kw)
 
-        res = lbfgs_minimize(flat_loss, x0, max_iters=chunk)
+        res = lbfgs_minimize(flat_loss, x0, max_iters=iters)
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
                 res.fval)
 
-    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk))
+    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk, in_axes=(0, 0, None)),
+                         static_argnums=2)
     nn2, b2, objs = nn1, b1, None
     done_iters = 0
     while done_iters < cfg.lbfgs_iters:
-        nn2, b2, objs = lbfgs_step(nn2, b2)
+        step = min(max(1, cfg.dispatch_chunk), cfg.lbfgs_iters - done_iters)
+        nn2, b2, objs = lbfgs_step(nn2, b2, step)
         jax.block_until_ready(objs)
-        done_iters += chunk
+        done_iters += step
+
+    if objs is None:
+        # lbfgs_iters=0: objectives from one batched loss evaluation
+        objs = jax.jit(jax.vmap(
+            lambda nn, b: population_sse(model, nn, b, cohort,
+                                         **loss_kw)))(nn2, b2)
 
     if cfg.final_eval_tsit5 and cfg.solver != "tsit5":
         # parity ranking: re-evaluate final objectives with the adaptive
@@ -249,27 +286,12 @@ def train_conditional(
         # the fused adaptive kernel where eligible)
         if use_pallas and mesh is None:
             from conditional_ude_tpu.ops.pallas_tsit5 import (
-                cohort_sse_tsit5_pallas,
+                screen_population_tsit5_pallas,
             )
 
-            r = nn2.shape[0]
-            inds = cohort.individuals
-            kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
-            tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
-            k_t = len(tp)
-            p_dim = nn2.shape[-1]
-            sse_lanes, ok = cohort_sse_tsit5_pallas(
-                model.net,
-                jnp.broadcast_to(nn2[:, None, :], (r, n, p_dim)).reshape(
-                    -1, p_dim),
-                b2[:, :, 0].reshape(-1),
-                jnp.broadcast_to(inds.glucose[None],
-                                 (r, n, k_t)).reshape(-1, k_t),
-                jnp.broadcast_to(cohort.cpeptide[None],
-                                 (r, n, k_t)).reshape(-1, k_t),
-                jnp.broadcast_to(kin[None], (r, n, 4)).reshape(-1, 4),
-                tp, cfg.max_steps)
-            objs = jnp.mean(sse_lanes.reshape(r, n), axis=1)
+            objs = screen_population_tsit5_pallas(
+                model.net, nn2, b2[:, :, 0], cohort,
+                max_steps=cfg.max_steps)
         else:
             objs = jax.jit(jax.vmap(
                 lambda nn, b: population_sse(model, nn, b, cohort,
@@ -279,7 +301,8 @@ def train_conditional(
 
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return TrainResult(nn_params=nn2[order], betas=b2[order],
-                       objectives=objs[order], screen_losses=screen,
+                       objectives=objs[order],
+                       screen_losses=screen[:g_orig],
                        loss_traces=traces[order])
 
 
@@ -377,14 +400,20 @@ def fit_betas_sigma(
     substeps: int = 8,
 ):
     """β + σ re-estimation via the Gaussian NLL (reference
-    ``train_with_sigma``, :290-307; σ unbounded, initial 1.0).
+    ``train_with_sigma``, :290-307; σ effectively unbounded, initial 1.0).
+
+    σ is floored at a tiny positive value rather than the reference's
+    (-Inf, Inf): the NLL is even in σ, so an optimizer overshoot through 0
+    would otherwise converge to an equal-objective NEGATIVE σ that breaks
+    every downstream scale use (CIs, posterior bands) — the positive floor
+    selects the equivalent positive minimum.
 
     Returns (betas[N], sigmas[N], objectives[N]).
     """
     lb, ub = bounds
     init = jnp.broadcast_to(jnp.asarray(initial_beta, jnp.float32),
                             (cohort.n,))
-    big = 1e30  # effectively unbounded σ, matching (-Inf, Inf) bounds
+    big = 1e30
 
     def fit_one(b0, ind, data):
         def loss(x):
@@ -395,7 +424,7 @@ def fit_betas_sigma(
 
         res = lbfgs_minimize(
             loss, jnp.stack([b0, jnp.asarray(1.0, jnp.float32)]),
-            lower=jnp.array([lb, -big], jnp.float32),
+            lower=jnp.array([lb, 1e-6], jnp.float32),
             upper=jnp.array([ub, big], jnp.float32),
             max_iters=lbfgs_iters)
         return res.x[0], res.x[1], res.fval

@@ -68,6 +68,7 @@ def lbfgs_minimize(
     vg = jax.value_and_grad(fun)
 
     f0, g0 = vg(x0)
+    g0_fin = jnp.isfinite(g0).all()
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
     bad_start = ~jnp.isfinite(f0)
 
@@ -75,6 +76,7 @@ def lbfgs_minimize(
         x: jax.Array
         f: jax.Array
         g: jax.Array
+        gfin: jax.Array     # gradient at x was fully finite (pre-zeroing)
         S: jax.Array        # [m, p] s-history (circular)
         Y: jax.Array        # [m, p] y-history
         rho: jax.Array      # [m]
@@ -84,7 +86,7 @@ def lbfgs_minimize(
         done: jax.Array
 
     init = _S(
-        x=x0, f=f0, g=g0,
+        x=x0, f=f0, g=g0, gfin=g0_fin,
         S=jnp.zeros((m, p), dtype), Y=jnp.zeros((m, p), dtype),
         rho=jnp.zeros((m,), dtype), valid=jnp.zeros((m,), bool),
         head=jnp.asarray(0, jnp.int32), it=jnp.asarray(0, jnp.int32),
@@ -155,10 +157,12 @@ def lbfgs_minimize(
             x: jax.Array
             f: jax.Array
             g: jax.Array
+            gfin: jax.Array
             # best Armijo-satisfying point seen (fallback if Wolfe not met)
             bx: jax.Array
             bf: jax.Array
             bg: jax.Array
+            bgfin: jax.Array
             b_ok: jax.Array
             k: jax.Array
             ok: jax.Array
@@ -169,6 +173,10 @@ def lbfgs_minimize(
         def ls_body(c: _LS) -> _LS:
             xt = _project(s.x + c.alpha * d, lower, upper)
             ft, gt = vg(xt)
+            # record finiteness BEFORE zeroing: a zeroed-out NaN gradient
+            # must not later read as a zero projected gradient (spurious
+            # convergence)
+            gt_fin = jnp.isfinite(gt).all()
             gt = jnp.where(jnp.isfinite(gt), gt, 0.0)
             # Armijo on the ACTUAL (projected) displacement — with box
             # clipping the nominal step α·d overstates the move, and the
@@ -189,17 +197,19 @@ def lbfgs_minimize(
             better = armijo & (ft < c.bf)
             return _LS(
                 lo=lo, hi=hi, alpha=alpha_next,
-                x=xt, f=ft, g=gt,
+                x=xt, f=ft, g=gt, gfin=gt_fin,
                 bx=jnp.where(better, xt, c.bx),
                 bf=jnp.where(better, ft, c.bf),
                 bg=jnp.where(better, gt, c.bg),
+                bgfin=jnp.where(better, gt_fin, c.bgfin),
                 b_ok=c.b_ok | armijo,
                 k=c.k + 1, ok=ok)
 
         ls0 = _LS(lo=jnp.asarray(0.0, dtype), hi=inf,
                   alpha=jnp.asarray(1.0, dtype),
-                  x=s.x, f=s.f, g=s.g,
-                  bx=s.x, bf=s.f, bg=s.g, b_ok=jnp.asarray(False),
+                  x=s.x, f=s.f, g=s.g, gfin=s.gfin,
+                  bx=s.x, bf=s.f, bg=s.g, bgfin=s.gfin,
+                  b_ok=jnp.asarray(False),
                   k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(False))
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
@@ -207,6 +217,8 @@ def lbfgs_minimize(
         x_new = jnp.where(ls.ok, ls.x, jnp.where(ls.b_ok, ls.bx, s.x))
         f_new = jnp.where(ls.ok, ls.f, jnp.where(ls.b_ok, ls.bf, s.f))
         g_new = jnp.where(ls.ok, ls.g, jnp.where(ls.b_ok, ls.bg, s.g))
+        gfin_new = jnp.where(ls.ok, ls.gfin,
+                             jnp.where(ls.b_ok, ls.bgfin, s.gfin))
 
         # curvature pair
         sk = x_new - s.x
@@ -222,22 +234,24 @@ def lbfgs_minimize(
         valid = jnp.where(store, s.valid.at[slot].set(True), s.valid)
         head = jnp.where(store, (s.head + 1) % m, s.head)
 
-        # convergence: projected-gradient sup-norm / f stagnation / stuck
+        # convergence: projected-gradient sup-norm / f stagnation / stuck;
+        # a point whose raw gradient had NaN/inf components can never pass
+        # the small-gradient test (its zeroed pg would be meaningless)
         pg = x_new - _project(x_new - g_new, lower, upper)
-        small_g = jnp.max(jnp.abs(pg)) < gtol
+        small_g = (jnp.max(jnp.abs(pg)) < gtol) & gfin_new
         stalled = ls_ok & (jnp.abs(s.f - f_new) <=
                            ftol * jnp.maximum(jnp.abs(s.f), 1.0))
         stuck = ~ls_ok
         done = small_g | stuck | (jnp.asarray(ftol, dtype) > 0) & stalled
 
-        return _S(x=x_new, f=f_new, g=g_new, S=S, Y=Y, rho=rho, valid=valid,
-                  head=head, it=s.it + 1, done=done)
+        return _S(x=x_new, f=f_new, g=g_new, gfin=gfin_new, S=S, Y=Y,
+                  rho=rho, valid=valid, head=head, it=s.it + 1, done=done)
 
     def cond(s: _S):
         return (~s.done) & (s.it < max_iters)
 
     final = lax.while_loop(cond, lambda s: body(s), init)
     pg = final.x - _project(final.x - final.g, lower, upper)
-    converged = (jnp.max(jnp.abs(pg)) < gtol) & ~bad_start
+    converged = (jnp.max(jnp.abs(pg)) < gtol) & final.gfin & ~bad_start
     return LBFGSResult(x=final.x, fval=final.f, converged=converged,
                        num_iters=final.it)

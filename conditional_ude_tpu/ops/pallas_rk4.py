@@ -40,6 +40,21 @@ from conditional_ude_tpu.nn import MLP
 LANE_BLOCK = 1024   # lanes per grid program (multiple of 128)
 
 
+def check_net_canonical(net: MLP, input_dims: int = 2) -> None:
+    """The fused kernels hard-code tanh hidden layers + a softplus head on
+    ``input_dims`` inputs; reject any other architecture loudly instead of
+    silently screening a different model."""
+    if (net.input_dims != input_dims
+            or any(a != "tanh" for a in net.activations)
+            or net.output_activation != "softplus"):
+        raise ValueError(
+            f"Pallas c-peptide kernels support only {input_dims}-input MLPs "
+            "with tanh hidden layers and a softplus output head; got "
+            f"input_dims={net.input_dims}, activations={net.activations}, "
+            f"output_activation={net.output_activation!r}. Use the XLA "
+            "path (use_pallas=False / solver kwargs) for this network.")
+
+
 def _mlp_rows(nn_ref, layer_dims):
     """Split the [P, B] per-lane weight block into per-layer row lists.
 
@@ -159,6 +174,7 @@ def cohort_sse_pallas(
     for non-finite trajectories.  ``timepoints`` must be a static tuple
     (shared observation grid).
     """
+    check_net_canonical(net)
     l_total = betas.shape[0]
     p = net.num_params
     k = len(timepoints)
@@ -364,6 +380,7 @@ def population_sse_pallas(
     [G × N] lanes (and its HBM traffic) disappears — ~1.4× end-to-end on
     the 8192 × 82 screening workload.
     """
+    check_net_canonical(net)
     inds = cohort.individuals
     kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)  # [N, 4]
     tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
@@ -372,19 +389,12 @@ def population_sse_pallas(
         substeps, interpret)
 
 
-def screen_population_pallas(
-    net: MLP,
-    nn_inits: jax.Array,     # [G, P] restart NN weights
-    betas: jax.Array,        # [G, N] restart × individual conditionals
-    cohort,
-    substeps: int = 8,
-    interpret: bool = False,
-) -> jax.Array:
-    """Population mean-SSE per restart via the fused kernel.
+def expand_to_lanes(nn_inits: jax.Array, betas: jax.Array, cohort):
+    """Expand a [restarts] × [individuals] grid to flat kernel lanes.
 
-    Expands the restart × individual grid to lanes, runs one kernel, and
-    reduces the individual axis — the TPU-native form of the reference's
-    25k-restart screening loop.
+    Shared by the RK4 and Tsit5 lane-level kernels.  Returns
+    ``(nn[L, P], betas[L], glucose[L, K], data[L, K], kinetics[L, 4],
+    timepoints_tuple)`` with ``L = G·N``.
     """
     g_, n_ = betas.shape[0], betas.shape[1]
     inds = cohort.individuals
@@ -397,16 +407,29 @@ def screen_population_pallas(
     nn_lanes = jnp.broadcast_to(nn_inits[:, None, :],
                                 (g_, n_, nn_inits.shape[-1]))
     tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
+    lanes = g_ * n_
+    return (nn_lanes.reshape(lanes, -1), betas.reshape(lanes),
+            glucose.reshape(lanes, -1), data.reshape(lanes, -1),
+            kin.reshape(lanes, 4), tp)
 
-    sse = cohort_sse_pallas(
-        net,
-        nn_lanes.reshape(g_ * n_, -1),
-        betas.reshape(g_ * n_),
-        glucose.reshape(g_ * n_, -1),
-        data.reshape(g_ * n_, -1),
-        kin.reshape(g_ * n_, 4),
-        tp,
-        substeps,
-        interpret,
-    )
+
+def screen_population_pallas(
+    net: MLP,
+    nn_inits: jax.Array,     # [G, P] restart NN weights
+    betas: jax.Array,        # [G, N] restart × individual conditionals
+    cohort,
+    substeps: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Population mean-SSE per restart via the lane-level fused kernel.
+
+    Expands the restart × individual grid to lanes, runs one kernel, and
+    reduces the individual axis.  Prefer :func:`population_sse_pallas`
+    (no expansion) for large screens; this remains the reference
+    implementation the expansion-free kernel is tested against.
+    """
+    g_, n_ = betas.shape[0], betas.shape[1]
+    nn_l, b_l, g_l, d_l, kin_l, tp = expand_to_lanes(nn_inits, betas, cohort)
+    sse = cohort_sse_pallas(net, nn_l, b_l, g_l, d_l, kin_l, tp,
+                            substeps, interpret)
     return jnp.mean(sse.reshape(g_, n_), axis=1)

@@ -227,6 +227,9 @@ def cohort_sse_tsit5_pallas(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Adaptive per-lane SSE; returns (sse[L], success[L])."""
+    from conditional_ude_tpu.ops.pallas_rk4 import check_net_canonical
+
+    check_net_canonical(net)
     l_total = betas.shape[0]
     p = net.num_params
     k = len(timepoints)
@@ -261,3 +264,23 @@ def cohort_sse_tsit5_pallas(
         interpret=interpret,
     )(nn_t, g_t, d_t, kin_t, eb_t)
     return sse[0, :l_total], ok[0, :l_total]
+
+
+def screen_population_tsit5_pallas(
+    net: MLP,
+    nn_params: jax.Array,    # [G, P] restart NN weights
+    betas: jax.Array,        # [G, N] restart × individual conditionals
+    cohort,
+    max_steps: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Population mean-SSE per restart with the adaptive kernel (the
+    tolerance-parity ranking pass of ``train_conditional``); failed lanes
+    contribute ``inf`` to their restart's mean."""
+    from conditional_ude_tpu.ops.pallas_rk4 import expand_to_lanes
+
+    g_, n_ = betas.shape[0], betas.shape[1]
+    nn_l, b_l, g_l, d_l, kin_l, tp = expand_to_lanes(nn_params, betas, cohort)
+    sse, _ = cohort_sse_tsit5_pallas(net, nn_l, b_l, g_l, d_l, kin_l, tp,
+                                     max_steps, interpret=interpret)
+    return jnp.mean(sse.reshape(g_, n_), axis=1)

@@ -69,3 +69,24 @@ def test_inf_at_start_is_safe():
     res = lbfgs_minimize(f, jnp.array([-1.0]), max_iters=50)
     assert not bool(res.converged)
     assert np.isfinite(np.array(res.x)).all()
+
+
+def test_nan_gradient_is_not_spurious_convergence():
+    """A finite objective whose gradient is NaN must not report converged:
+    the zeroed gradient would otherwise read as a zero projected gradient."""
+
+    @jax.custom_vjp
+    def flat_nan_grad(x):
+        return jnp.sum(x**2) * 0.0
+
+    def fwd(x):
+        return flat_nan_grad(x), x
+
+    def bwd(x, g):
+        return (jnp.full_like(x, jnp.nan),)
+
+    flat_nan_grad.defvjp(fwd, bwd)
+
+    res = lbfgs_minimize(flat_nan_grad, jnp.array([1.0, -2.0]), max_iters=20)
+    assert not bool(res.converged)
+    assert np.isfinite(np.array(res.x)).all()

@@ -79,6 +79,33 @@ def test_fit_betas_recovers_conditionals(rng):
     np.testing.assert_allclose(np.asarray(b2), betas_true, atol=0.1)
 
 
+def test_use_pallas_rejects_noncanonical_net(rng):
+    """Explicit use_pallas=True with a network the fused kernel cannot
+    represent must raise, not silently screen a different model."""
+    import pytest
+
+    model, net, cohort, *_ = _synthetic_conditional_cohort(rng, n=4)
+    bad_net = chain(4, 2, "sigmoid", input_dims=2)
+    bad_model = CPeptideModel(kind="conditional", net=bad_net)
+    cfg = TrainConfig(initial_guesses=8, selected_initials=2,
+                      adam_iters=2, lbfgs_iters=2, use_pallas=True)
+    with pytest.raises(ValueError, match="canonical"):
+        train_conditional(bad_model, cohort, jax.random.key(0), cfg)
+
+
+def test_train_conditional_budget_edges(rng):
+    """Non-divisible Adam budgets produce exact-length traces and
+    lbfgs_iters=0 still returns finite objectives."""
+    model, net, cohort, *_ = _synthetic_conditional_cohort(rng, n=4)
+    cfg = TrainConfig(initial_guesses=16, selected_initials=2,
+                      adam_iters=7, lbfgs_iters=0, dispatch_chunk=3,
+                      screen_chunk=16, final_eval_tsit5=False)
+    res = train_conditional(model, cohort, jax.random.key(0), cfg)
+    assert res.loss_traces.shape == (2, 7)
+    assert np.isfinite(np.asarray(res.objectives)).all()
+    assert res.screen_losses.shape == (16,)
+
+
 def test_train_conditional_two_parameters(rng):
     """The reference supports n_conditional_parameters > 1
     (``src/parameter-estimation.jl:315,356``): joint training with c = 2
