@@ -80,12 +80,25 @@ def cohort_beta_profiles(
     grid = jnp.linspace(lower, upper, steps)
     sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (cohort.n,))
 
+    def _kernel_ok():
+        net = model.net
+        return (model.kind == "conditional" and net is not None
+                and net.input_dims == 2
+                and all(a == "tanh" for a in net.activations)
+                and net.output_activation == "softplus"
+                and set(solver_kwargs) <= {"substeps"})
+
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and model.kind == "conditional"
-                      and not solver_kwargs)
+        use_pallas = jax.default_backend() == "tpu" and _kernel_ok()
+    elif use_pallas and not _kernel_ok():
+        raise ValueError(
+            "use_pallas=True requires the canonical conditional model "
+            "(2-input tanh/softplus net) and supports only the 'substeps' "
+            "solver kwarg; use use_pallas=False for this configuration")
     if use_pallas:
         from conditional_ude_tpu.ops.pallas_rk4 import cohort_sse_pallas
+
+        kernel_substeps = int(solver_kwargs.get("substeps", 8))
 
         # lanes = (grid point × individual): the screening kernel with the
         # NN replicated across lanes and per-lane β = the grid value
@@ -113,6 +126,7 @@ def cohort_beta_profiles(
                 expand(cohort.cpeptide),
                 expand(kin),
                 tp,
+                kernel_substeps,
             )
             vals = sse_lanes.reshape(s_chunk, n).T          # [N, s_chunk]
             parts.append(vals / (2.0 * sig[:, None] ** 2))

@@ -25,6 +25,16 @@ TIMEPOINTS = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
 _SPLIT_SEED = 270523  # reference uses StableRNG(270523), 00-prepare-data.jl:3
 
 
+def _keyed(df: "pd.DataFrame", subject_numbers: np.ndarray) -> "pd.DataFrame":
+    """Reindex rows by subject number (raises on duplicate or missing 'No')
+    so metadata cannot be paired with OGTT rows positionally."""
+    df = df.set_index("No")
+    if not df.index.is_unique:
+        raise ValueError("duplicated 'No' values in a data CSV")
+    return df.loc[subject_numbers]
+
+
+
 @dataclasses.dataclass
 class OhashiSplit:
     """One side of the train/test split (plain numpy, feeds ``build_cohort``)."""
@@ -68,8 +78,12 @@ def load_ohashi(
     ogtt = ogtt.dropna()
     subject_numbers = ogtt["No"].to_numpy()
 
+    # join on the subject number, NOT row position: the current CSVs happen
+    # to share sort order, but a re-exported file must not silently pair
+    # subject i's OGTT with subject j's metadata (raises on missing or
+    # duplicated 'No' instead)
     info = pd.read_csv(csv_dir / "ohashi_subjectinfo.csv", sep=";")
-    info = info[info["No"].isin(subject_numbers)]
+    info = _keyed(info, subject_numbers)
 
     types = info["type"].to_numpy(dtype=str)
     ages = info["age"].to_numpy(dtype=float)
@@ -81,7 +95,7 @@ def load_ohashi(
     cpeptide = ogtt.iloc[:, 11:16].to_numpy(dtype=float) * CPEPTIDE_TO_NMOL_L
 
     clamp = pd.read_csv(csv_dir / "ohashi_clamp_indices.csv", sep=";")
-    clamp = clamp[clamp["No"].isin(subject_numbers)]
+    clamp = _keyed(clamp, subject_numbers)
     disposition = clamp["clamp PAI"].to_numpy(dtype=float)
     first_phase = clamp["incremental AUC IRI(10)"].to_numpy(dtype=float)
     second_phase = clamp["incremental AUC IRI(10-90)"].to_numpy(dtype=float)
@@ -118,12 +132,12 @@ def load_clamp_insulin(
     ogtt = pd.read_csv(csv_dir / "ohashi_OGTT.csv", sep=";").dropna()
     subject_numbers = ogtt["No"].to_numpy()
     info = pd.read_csv(csv_dir / "ohashi_subjectinfo.csv", sep=";")
-    info = info[info["No"].isin(subject_numbers)]
+    info = _keyed(info, subject_numbers)
     types = info["type"].to_numpy(dtype=str)
 
     blood = pd.read_csv(csv_dir / "ohashi_clamp_blood.csv", sep=";",
                         decimal=",")
-    blood = blood[blood["No"].isin(subject_numbers)]
+    blood = _keyed(blood, subject_numbers)
     cols = [f"C-IRI({int(t)})" for t in CLAMP_INSULIN_TIMEPOINTS]
     insulin = blood[cols].to_numpy(dtype=float)
     return CLAMP_INSULIN_TIMEPOINTS.copy(), insulin, types

@@ -212,43 +212,50 @@ def fit_suppression(
     top = top[: cfg.select_best_n]
 
     p_nn = nn_inits.shape[-1]
-    chunk = max(1, min(cfg.dispatch_chunk, cfg.adam_iters))
 
-    # -- Adam stage: bounded-runtime dispatches, optimizer state threaded --
-    def adam_chunk(nn, th, state):
+    # -- Adam stage: bounded-runtime dispatches, optimizer state threaded;
+    # each stage's chunks are clamped to its OWN budget (exact totals) -----
+    def adam_chunk(nn, th, state, iters):
         res = adam_minimize(lambda p: loss(p["nn"], p["th"]),
                             {"nn": nn, "th": th},
-                            iters=chunk, lr=cfg.adam_lr, opt_state=state)
+                            iters=iters, lr=cfg.adam_lr, opt_state=state)
         return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
 
     nn_c, th_c = nn_inits[top], theta_inits[top]
-    run_adam = jax.jit(jax.vmap(adam_chunk))
+    run_adam = jax.jit(jax.vmap(adam_chunk, in_axes=(0, 0, 0, None)),
+                       static_argnums=3)
     state = jax.vmap(
         lambda nn, th: optax.adam(cfg.adam_lr).init({"nn": nn, "th": th})
     )(nn_c, th_c)
-    traces = []
+    traces = [jnp.zeros((cfg.select_best_n, 0), jnp.float32)]
     done = 0
     while done < cfg.adam_iters:
-        nn_c, th_c, state, tr = run_adam(nn_c, th_c, state)
+        step = min(max(1, cfg.dispatch_chunk), cfg.adam_iters - done)
+        nn_c, th_c, state, tr = run_adam(nn_c, th_c, state, step)
         jax.block_until_ready(th_c)
         traces.append(tr)
-        done += chunk
-    traces = jnp.concatenate(traces, axis=1)[:, : cfg.adam_iters]
+        done += step
+    traces = jnp.concatenate(traces, axis=1)
 
     # -- L-BFGS stage: chunked with history restarts ------------------------
-    def lbfgs_chunk(nn, th):
+    def lbfgs_chunk(nn, th, iters):
         x0 = jnp.concatenate([nn, th])
         res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:]), x0,
-                             max_iters=chunk)
+                             max_iters=iters)
         return res.x[:p_nn], res.x[p_nn:], res.fval
 
-    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk))
+    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk, in_axes=(0, 0, None)),
+                        static_argnums=2)
     objs = None
     done = 0
     while done < cfg.lbfgs_iters:
-        nn_c, th_c, objs = run_lbfgs(nn_c, th_c)
+        step = min(max(1, cfg.dispatch_chunk), cfg.lbfgs_iters - done)
+        nn_c, th_c, objs = run_lbfgs(nn_c, th_c, step)
         jax.block_until_ready(objs)
-        done += chunk
+        done += step
+
+    if objs is None:
+        objs = jax.jit(jax.vmap(loss))(nn_c, th_c)
 
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return SuppressionFit(nn_params=nn_c[order], thetas=th_c[order],
@@ -321,20 +328,10 @@ def validate_suppression(
     return theta, obj
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
-def validate_suppression_sigma(
-    net: MLP,
-    nn_params: jax.Array,
-    data_one: jax.Array,        # [3, T] a single individual
-    timepoints: jax.Array,
-    theta_inits: jax.Array,     # [n_init] scalar θ candidates
-    lbfgs_iters: int = 2000,
-    max_steps: int = 512,
-):
-    """Per-individual (θ, σ₁..σ₃) fit via per-state Gaussian NLL (reference
-    ``validate_suppression_model_sigma``, :224-275).  Returns (x[4], nll)."""
-    data_one = jnp.asarray(data_one, jnp.float32)
-    tp = jnp.asarray(timepoints, jnp.float32)
+def _sigma_nll(net: MLP, nn_params, data_one, tp):
+    """Per-state Gaussian NLL for one individual as a function of
+    x = [θ, σ₁..σ₃] (reference ``validate_suppression_model_sigma``,
+    :224-275)."""
     rhs = make_ude_rhs(net)
     n_t = data_one.shape[1]
 
@@ -350,6 +347,23 @@ def validate_suppression_sigma(
                       + err / (2.0 * sigmas**2))
         return jnp.where(res.success, val, jnp.inf)
 
+    return nll
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def validate_suppression_sigma(
+    net: MLP,
+    nn_params: jax.Array,
+    data_one: jax.Array,        # [3, T] a single individual
+    timepoints: jax.Array,
+    theta_inits: jax.Array,     # [n_init] scalar θ candidates
+    lbfgs_iters: int = 2000,
+):
+    """Per-individual (θ, σ₁..σ₃) fit; returns (x[4], nll)."""
+    data_one = jnp.asarray(data_one, jnp.float32)
+    tp = jnp.asarray(timepoints, jnp.float32)
+    nll = _sigma_nll(net, nn_params, data_one, tp)
+
     def init_loss(th):
         return nll(jnp.concatenate([th[None], jnp.ones(3)]))
 
@@ -360,7 +374,6 @@ def validate_suppression_sigma(
     return res.x, res.fval
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6))
 def validate_suppression_sigma_batch(
     net: MLP,
     nn_params: jax.Array,
@@ -368,16 +381,51 @@ def validate_suppression_sigma_batch(
     timepoints: jax.Array,
     theta_inits: jax.Array,     # [n_init] shared scalar θ candidates
     lbfgs_iters: int = 2000,
-    max_steps: int = 512,
+    dispatch_chunk: int = 250,
 ):
     """Batched per-individual (θ, σ) fits: the reference's serial loop over
-    60 fresh test subjects (``suppression/figures.jl:42-58``) as one vmap.
+    60 fresh test subjects (``suppression/figures.jl:42-58``) as one vmap,
+    the L-BFGS run split into ``dispatch_chunk``-iteration dispatches — a
+    single N-lane 2000-iteration program is long enough to get the axon
+    TPU worker killed (same mitigation as ``fit_suppression``).
 
     Returns (x[N, 4], nll[N])."""
+    data = jnp.asarray(data, jnp.float32)
+    tp = jnp.asarray(timepoints, jnp.float32)
 
-    def one(d):
-        return validate_suppression_sigma(net, nn_params, d, timepoints,
-                                          theta_inits, lbfgs_iters,
-                                          max_steps)
+    @jax.jit
+    def screen(d):
+        def one(d_one):
+            nll = _sigma_nll(net, nn_params, d_one, tp)
 
-    return jax.vmap(one)(jnp.asarray(data, jnp.float32))
+            def init_loss(th):
+                return nll(jnp.concatenate([th[None], jnp.ones(3)]))
+
+            losses = jax.vmap(init_loss)(theta_inits)
+            best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses,
+                                        jnp.inf))
+            return jnp.concatenate([theta_inits[best][None], jnp.ones(3)])
+
+        return jax.vmap(one)(d)
+
+    @partial(jax.jit, static_argnums=1)
+    def refine(x0s, iters):
+        def one(x0, d_one):
+            res = lbfgs_minimize(_sigma_nll(net, nn_params, d_one, tp), x0,
+                                 max_iters=iters)
+            return res.x, res.fval
+
+        return jax.vmap(one)(x0s, data)
+
+    xs = screen(data)
+    nlls = None
+    done = 0
+    while done < lbfgs_iters:
+        step = min(max(1, dispatch_chunk), lbfgs_iters - done)
+        xs, nlls = refine(xs, step)
+        jax.block_until_ready(nlls)
+        done += step
+    if nlls is None:
+        nlls = jax.vmap(lambda x, d: _sigma_nll(net, nn_params, d, tp)(x))(
+            xs, data)
+    return xs, nlls

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from conditional_ude_tpu.fit.losses import sse, sse_sigma
+from conditional_ude_tpu.fit.losses import sse_sigma
 from conditional_ude_tpu.models.cpeptide import Cohort, CPeptideModel
 from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
 
@@ -107,14 +107,3 @@ def fit_k_sigma(
     return xs[:, 0], xs[:, 1], fvals
 
 
-def k_profile_loss(cohort: Cohort, solver_max_steps: int = 256):
-    """Per-individual SSE as a function of k, for likelihood profiling
-    (``03-symreg.jl`` CI analysis).  Returns ``loss(k, i)``-style closure
-    factory usable with :mod:`conditional_ude_tpu.analysis`."""
-    model = symbolic_model()
-
-    def loss(k, ind, data):
-        return sse(model, {"k": k}, ind, cohort.timepoints, data,
-                   max_steps=solver_max_steps)
-
-    return loss

@@ -16,10 +16,19 @@ from typing import Any, Callable
 import numpy as np
 
 
+def _npz_path(path: str | Path) -> Path:
+    """Normalize to the .npz suffix np.savez appends: a bare ``foo`` path
+    would otherwise be saved as ``foo.npz`` but checked/loaded as ``foo``
+    (the cache would silently never hit)."""
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(
+        path.suffix + ".npz")
+
+
 def save_checkpoint(path: str | Path, arrays: dict[str, Any],
                     metadata: dict | None = None) -> None:
     """Save named arrays (+ JSON metadata sidecar) to ``path`` (.npz)."""
-    path = Path(path)
+    path = _npz_path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
     if metadata is not None:
@@ -28,7 +37,7 @@ def save_checkpoint(path: str | Path, arrays: dict[str, Any],
 
 def load_checkpoint(path: str | Path) -> tuple[dict[str, np.ndarray], dict]:
     """Load arrays and metadata saved by :func:`save_checkpoint`."""
-    path = Path(path)
+    path = _npz_path(path)
     data = dict(np.load(path, allow_pickle=False))
     meta_path = path.with_suffix(".json")
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
@@ -43,7 +52,7 @@ def cached(
 ) -> dict[str, np.ndarray]:
     """Load ``path`` if it exists (and ``not retrain``), else compute, save,
     and return — the reference's ``RETRAIN_MODEL`` artifact pattern."""
-    path = Path(path)
+    path = _npz_path(path)
     if path.exists() and not retrain:
         return load_checkpoint(path)[0]
     arrays = compute()
