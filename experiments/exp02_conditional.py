@@ -83,6 +83,13 @@ def main():
                            "guesses": cfg.initial_guesses})
     candidates = jnp.asarray(art["nn_params"])
     betas_cand = jnp.asarray(art["betas"])
+    if "idx_fit" in art and not np.array_equal(art["idx_fit"], idx_fit):
+        # cached artifact from a different seed: rebuild the validation
+        # split from ITS indices (no fit/validation leakage on reuse)
+        idx_fit = np.asarray(art["idx_fit"])
+        idx_val = np.setdiff1d(np.arange(len(train.ages)), idx_fit)
+        fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
+        cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
 
     # model selection on validation (:36-41)
     val_iters = 50 if args.smoke else 1000

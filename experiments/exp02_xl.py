@@ -83,6 +83,14 @@ def main():
                            "restarts": cfg.selected_initials})
     candidates = jnp.asarray(art["nn_params"])
     betas_cand = jnp.asarray(art["betas"])
+    if "idx_fit" in art and not np.array_equal(art["idx_fit"], idx_fit):
+        # a cached artifact trained under a different seed: rebuild the
+        # validation split from ITS indices so selection never sees
+        # fit individuals (fit/validation leakage)
+        idx_fit = np.asarray(art["idx_fit"])
+        idx_val = np.setdiff1d(np.arange(len(train.ages)), idx_fit)
+        fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
+        cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
 
     val_iters = 50 if args.smoke else 1000
     objectives = evaluate_model(model, candidates, betas_cand, cohort_val,

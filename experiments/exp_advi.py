@@ -118,7 +118,9 @@ def main():
                           )["best_model_index"]
     except Exception:
         best = 0
-    best = min(best, n_restarts - 1)
+    # --restarts only limits the joint-ADVI stage; the full candidate array
+    # is loaded, so the validation-selected NN stays available here
+    best = min(best, candidates.shape[0] - 1)
     nn_best = jnp.asarray(candidates[best], jnp.float32)
 
     with Timer() as t_beta:
