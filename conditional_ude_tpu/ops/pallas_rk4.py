@@ -250,9 +250,8 @@ def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
     def kernel(nn_ref, b_ref, g_smem, d_smem, kin_smem, out_ref):
         rows = [nn_ref[i] for i in range(p)]            # (B,) lane rows
         layers = _mlp_rows(rows, layer_dims)
-
-        def production(dg, eb, base):
-            return _mlp_forward(layers, [dg, eb], hidden, softplus) - base
+        (w1, bias1), rest = layers[0], layers[1:]
+        fo0 = len(w1)
 
         def per_individual(nidx, acc):
             k0 = kin_smem[0, nidx]
@@ -260,8 +259,16 @@ def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
             k2 = kin_smem[2, nidx]
             c0 = kin_smem[3, nidx]
             eb = jnp.exp(b_ref[nidx])                   # (B,) lane row
-            zero = jnp.zeros_like(eb)
-            base = _mlp_forward(layers, [zero, eb], hidden, softplus)
+            # β only enters layer 1; its partial pre-activations are
+            # constant across the whole solve — hoist them (the baseline
+            # NN([0, e^β]) is then just tanh of the hoisted sums)
+            s1 = [w1[o][1] * eb + bias1[o] for o in range(fo0)]
+            base = _mlp_forward(rest, [hidden(v) for v in s1],
+                                hidden, softplus)
+
+            def production(dg, eb_, base_):
+                h1 = [hidden(w1[o][0] * dg + s1[o]) for o in range(fo0)]
+                return _mlp_forward(rest, h1, hidden, softplus) - base_
             g_at0 = (1.0 - w0) * g_smem[j0, nidx] + w0 * g_smem[j0 + 1, nidx]
 
             u1 = c0 * jnp.ones_like(eb)
