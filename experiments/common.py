@@ -80,6 +80,109 @@ def load_cohorts(data_dir: Path, smoke: bool = False, max_smoke: int = 8):
     return train, test, cohort(train), cohort(test)
 
 
+def run_conditional_pipeline(args, cfg, artifact_name: str,
+                             kind: str = "conditional",
+                             input_dims: int = 2):
+    """Shared exp02-family core (exp02 / exp02_xl / exp07):
+
+    stratified fit/validation split → cached joint multi-start training
+    (with the artifact-seed guard: a cached artifact trained under another
+    seed rebuilds the validation split from ITS indices, so selection never
+    scores candidates on their own fit subjects) → validation selection →
+    (β, σ) re-estimation on the full train and test cohorts → σ-NLL → SSE
+    back-conversion.  Returns a namespace the scripts extend with their
+    specific analyses.
+    """
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.fit.train import (
+        evaluate_model,
+        fit_betas_sigma,
+        select_best,
+        train_conditional,
+    )
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+    from conditional_ude_tpu.utils.checkpoint import cached
+    from conditional_ude_tpu.utils.stats import stratified_split
+
+    train, test, cohort_train, cohort_test = load_cohorts(
+        args.data_dir, args.smoke)
+
+    # 70/30 fit/validation split inside training (02-conditional.jl:19)
+    rng = np.random.default_rng(args.seed)
+    idx_fit, idx_val = stratified_split(rng, train.types, 0.7)
+    fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
+
+    def cohort(split):
+        return build_cohort(split.glucose, split.timepoints, split.cpeptide,
+                            split.ages, split.t2dm)
+
+    cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
+
+    net = chain(4, 2, "tanh", input_dims=input_dims)
+    model = CPeptideModel(kind=kind, net=net)
+
+    def compute():
+        with Timer() as t:
+            res = train_conditional(model, cohort_fit,
+                                    jax.random.key(args.seed), cfg)
+        return {"nn_params": res.nn_params, "betas": res.betas,
+                "objectives": res.objectives, "idx_fit": np.asarray(idx_fit),
+                "seconds": np.asarray(t.seconds)}
+
+    art = cached(args.artifacts / artifact_name, compute,
+                 retrain=args.retrain,
+                 metadata={"kind": kind, "input_dims": input_dims,
+                           "guesses": cfg.initial_guesses,
+                           "restarts": cfg.selected_initials})
+    candidates = jnp.asarray(art["nn_params"])
+    betas_cand = jnp.asarray(art["betas"])
+    if "idx_fit" in art and not np.array_equal(art["idx_fit"], idx_fit):
+        idx_fit = np.asarray(art["idx_fit"])
+        idx_val = np.setdiff1d(np.arange(len(train.ages)), idx_fit)
+        fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
+        cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
+
+    # model selection on validation (02-conditional.jl:36-41)
+    val_iters = 50 if args.smoke else 1000
+    objectives = evaluate_model(model, candidates, betas_cand, cohort_val,
+                                lbfgs_iters=val_iters)
+    best = select_best(objectives)
+    nn_best = candidates[best]
+    betas_best = np.asarray(betas_cand[best]).ravel()
+
+    # (β, σ) re-estimation, bounds = training-β range ±10% (:91-106)
+    lb = betas_best.min() - 0.1 * abs(betas_best.min())
+    ub = betas_best.max() + 0.1 * abs(betas_best.max())
+    re_iters = 100 if args.smoke else 1000
+
+    def reestimate(c):
+        return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
+                               bounds=(float(lb), float(ub)),
+                               lbfgs_iters=re_iters)
+
+    b_train, s_train, o_train = map(np.asarray, reestimate(cohort_train))
+    b_test, s_test, o_test = map(np.asarray, reestimate(cohort_test))
+
+    # convert σ-NLL objectives back to SSE (:94,105)
+    n_t = train.timepoints.shape[0]
+    sse_train = (o_train - (n_t / 2) * np.log(s_train**2)) * (2 * s_train**2)
+    sse_test = (o_test - (n_t / 2) * np.log(s_test**2)) * (2 * s_test**2)
+
+    return SimpleNamespace(
+        train=train, test=test, cohort_train=cohort_train,
+        cohort_test=cohort_test, idx_fit=idx_fit, idx_val=idx_val,
+        net=net, model=model, art=art, candidates=candidates,
+        betas_cand=betas_cand, best=best, nn_best=nn_best,
+        lb=float(lb), ub=float(ub),
+        b_train=b_train, s_train=s_train, sse_train=sse_train,
+        b_test=b_test, s_test=s_test, sse_test=sse_test)
+
+
 def per_type_mse(types: np.ndarray, mses: np.ndarray) -> dict[str, float]:
     """Mean MSE per NGT/IGT/T2DM class (``02-conditional.jl:108-113``)."""
     return {t: float(np.mean(mses[types == t])) for t in

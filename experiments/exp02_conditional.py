@@ -21,8 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-from common import configure_backend,  Timer, load_cohorts, make_parser, per_type_mse, \
-    write_csv, write_metrics
+from common import configure_backend, make_parser, per_type_mse, \
+    run_conditional_pipeline, write_csv, write_metrics
 
 
 def main():
@@ -37,85 +37,22 @@ def main():
         cohort_beta_profiles,
         find_confidence_intervals,
     )
-    from conditional_ude_tpu.fit.train import (
-        TrainConfig,
-        evaluate_model,
-        fit_betas_sigma,
-        select_best,
-        train_conditional,
-    )
-    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
-    from conditional_ude_tpu.nn import chain
-    from conditional_ude_tpu.utils.checkpoint import cached
-    from conditional_ude_tpu.utils.stats import spearman, stratified_split
-
-    train, test, cohort_train, cohort_test = load_cohorts(
-        args.data_dir, args.smoke)
-
-    # 70/30 fit/validation split inside training (02-conditional.jl:19)
-    rng = np.random.default_rng(args.seed)
-    idx_fit, idx_val = stratified_split(rng, train.types, 0.7)
-    fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
-
-    def cohort(split):
-        return build_cohort(split.glucose, split.timepoints, split.cpeptide,
-                            split.ages, split.t2dm)
-
-    cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
-
-    net = chain(4, 2, "tanh", input_dims=2)
-    model = CPeptideModel(kind="conditional", net=net)
+    from conditional_ude_tpu.fit.train import TrainConfig
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel
+    from conditional_ude_tpu.utils.stats import spearman
 
     cfg = TrainConfig(initial_guesses=200, selected_initials=4,
                       adam_iters=25, lbfgs_iters=25) if args.smoke else \
         TrainConfig()
 
-    def compute():
-        with Timer():
-            res = train_conditional(model, cohort_fit,
-                                    jax.random.key(args.seed), cfg)
-        return {"nn_params": res.nn_params, "betas": res.betas,
-                "objectives": res.objectives, "idx_fit": np.asarray(idx_fit)}
-
-    art = cached(args.artifacts / "cude_neural_parameters.npz", compute,
-                 retrain=args.retrain,
-                 metadata={"script": "exp02", "width": 4, "depth": 2,
-                           "guesses": cfg.initial_guesses})
-    candidates = jnp.asarray(art["nn_params"])
-    betas_cand = jnp.asarray(art["betas"])
-    if "idx_fit" in art and not np.array_equal(art["idx_fit"], idx_fit):
-        # cached artifact from a different seed: rebuild the validation
-        # split from ITS indices (no fit/validation leakage on reuse)
-        idx_fit = np.asarray(art["idx_fit"])
-        idx_val = np.setdiff1d(np.arange(len(train.ages)), idx_fit)
-        fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
-        cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
-
-    # model selection on validation (:36-41)
-    val_iters = 50 if args.smoke else 1000
-    objectives = evaluate_model(model, candidates, betas_cand, cohort_val,
-                                lbfgs_iters=val_iters)
-    best = select_best(objectives)
-    nn_best = candidates[best]
-    betas_best = np.asarray(betas_cand[best]).ravel()
-
-    # (β, σ) re-estimation, bounds = training-β range ±10% (:91-106)
-    lb = betas_best.min() - 0.1 * abs(betas_best.min())
-    ub = betas_best.max() + 0.1 * abs(betas_best.max())
-    re_iters = 100 if args.smoke else 1000
-
-    def reestimate(c):
-        return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
-                               bounds=(float(lb), float(ub)),
-                               lbfgs_iters=re_iters)
-
-    b_train, s_train, o_train = map(np.asarray, reestimate(cohort_train))
-    b_test, s_test, o_test = map(np.asarray, reestimate(cohort_test))
-
-    # convert σ-NLL objectives back to SSE (:94,105)
-    n_t = train.timepoints.shape[0]
-    sse_train = (o_train - (n_t / 2) * np.log(s_train**2)) * (2 * s_train**2)
-    sse_test = (o_test - (n_t / 2) * np.log(s_test**2)) * (2 * s_test**2)
+    p = run_conditional_pipeline(args, cfg, "cude_neural_parameters.npz")
+    train, test = p.train, p.test
+    cohort_train, cohort_test = p.cohort_train, p.cohort_test
+    net, model, nn_best, best = p.net, p.model, p.nn_best, p.best
+    art, lb, ub = p.art, p.lb, p.ub
+    b_train, s_train, sse_train = p.b_train, p.s_train, p.sse_train
+    b_test, s_test, sse_test = p.b_test, p.s_test, p.sse_test
+    rng = np.random.default_rng(args.seed)
 
     # correlations β vs clamp indices (:237-239)
     b_all = np.concatenate([b_train, b_test])
@@ -242,7 +179,7 @@ def main():
                                 cohort_test)
         mse_ude = np.mean((np.asarray(res_u.ys[:, :, 0])
                            - test.cpeptide) ** 2, axis=1)
-        mse_cude = sse_test / n_t
+        mse_cude = sse_test / train.timepoints.shape[0]
         ude_vs_cude = {
             "test_mse_ude_mean": float(mse_ude.mean()),
             "test_mse_cude_mean": float(mse_cude.mean()),

@@ -15,15 +15,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-from common import configure_backend,  Timer, load_cohorts, make_parser, per_type_mse, \
-    write_metrics
+from common import configure_backend, make_parser, per_type_mse, \
+    run_conditional_pipeline, write_metrics
 
 
 def main():
     args = make_parser(__doc__).parse_args()
     configure_backend(args)
 
-    import jax
     import jax.numpy as jnp
 
     from conditional_ude_tpu.analysis import (
@@ -31,81 +30,23 @@ def main():
         cohort_beta_profiles,
         find_confidence_intervals,
     )
-    from conditional_ude_tpu.fit.train import (
-        TrainConfig,
-        evaluate_model,
-        fit_betas_sigma,
-        select_best,
-        train_conditional,
-    )
-    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
-    from conditional_ude_tpu.nn import chain
-    from conditional_ude_tpu.utils.checkpoint import cached
-    from conditional_ude_tpu.utils.stats import spearman, stratified_split
-
-    train, test, cohort_train, cohort_test = load_cohorts(
-        args.data_dir, args.smoke)
-
-    rng = np.random.default_rng(args.seed)
-    idx_fit, idx_val = stratified_split(rng, train.types, 0.7)
-    fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
-
-    def cohort(split):
-        return build_cohort(split.glucose, split.timepoints, split.cpeptide,
-                            split.ages, split.t2dm)
-
-    cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
-
-    # age covariate as a third NN input (07-covariate-inclusion.jl:32)
-    net = chain(4, 2, "tanh", input_dims=3)
-    model = CPeptideModel(kind="conditional_covariate", net=net)
+    from conditional_ude_tpu.fit.train import TrainConfig
+    from conditional_ude_tpu.utils.stats import spearman
 
     cfg = TrainConfig(initial_guesses=200, selected_initials=4,
                       adam_iters=25, lbfgs_iters=25) if args.smoke else \
         TrainConfig()
 
-    def compute():
-        with Timer():
-            res = train_conditional(model, cohort_fit,
-                                    jax.random.key(args.seed), cfg)
-        return {"nn_params": res.nn_params, "betas": res.betas,
-                "objectives": res.objectives, "idx_fit": np.asarray(idx_fit)}
-
-    art = cached(args.artifacts / "cude_covariate_neural_parameters.npz",
-                 compute, retrain=args.retrain,
-                 metadata={"script": "exp07", "input_dims": 3})
-    candidates = jnp.asarray(art["nn_params"])
-    betas_cand = jnp.asarray(art["betas"])
-    if "idx_fit" in art and not np.array_equal(art["idx_fit"], idx_fit):
-        # cached artifact from a different seed: rebuild the validation
-        # split from ITS indices (no fit/validation leakage on reuse)
-        idx_fit = np.asarray(art["idx_fit"])
-        idx_val = np.setdiff1d(np.arange(len(train.ages)), idx_fit)
-        fit_split, val_split = train.subset(idx_fit), train.subset(idx_val)
-        cohort_fit, cohort_val = cohort(fit_split), cohort(val_split)
-
-    val_iters = 50 if args.smoke else 1000
-    objectives = evaluate_model(model, candidates, betas_cand, cohort_val,
-                                lbfgs_iters=val_iters)
-    best = select_best(objectives)
-    nn_best = candidates[best]
-    betas_best = np.asarray(betas_cand[best]).ravel()
-
-    lb = betas_best.min() - 0.1 * abs(betas_best.min())
-    ub = betas_best.max() + 0.1 * abs(betas_best.max())
-    re_iters = 100 if args.smoke else 1000
-
-    def reestimate(c):
-        return fit_betas_sigma(model, nn_best, c, initial_beta=-1.0,
-                               bounds=(float(lb), float(ub)),
-                               lbfgs_iters=re_iters)
-
-    b_train, s_train, o_train = map(np.asarray, reestimate(cohort_train))
-    b_test, s_test, o_test = map(np.asarray, reestimate(cohort_test))
-
-    n_t = train.timepoints.shape[0]
-    sse_train = (o_train - (n_t / 2) * np.log(s_train**2)) * (2 * s_train**2)
-    sse_test = (o_test - (n_t / 2) * np.log(s_test**2)) * (2 * s_test**2)
+    # age covariate as a third NN input (07-covariate-inclusion.jl:32)
+    r = run_conditional_pipeline(args, cfg,
+                                 "cude_covariate_neural_parameters.npz",
+                                 kind="conditional_covariate", input_dims=3)
+    train, test = r.train, r.test
+    cohort_test = r.cohort_test
+    model, nn_best, best = r.model, r.nn_best, r.best
+    lb, ub = r.lb, r.ub
+    b_train, s_train, sse_train = r.b_train, r.s_train, r.sse_train
+    b_test, s_test, sse_test = r.b_test, r.s_test, r.sse_test
 
     b_all = np.concatenate([b_train, b_test])
     corr = {

@@ -108,3 +108,12 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(r1["v"], r2["v"])
     cached(tmp_path / "c.npz", compute, retrain=True)
     assert len(calls) == 2
+
+    # bare paths (no .npz suffix): np.savez appends one — the cache must
+    # still hit on the second call instead of recomputing forever
+    calls.clear()
+    cached(tmp_path / "bare", compute)
+    cached(tmp_path / "bare", compute)
+    assert len(calls) == 1
+    loaded, _ = load_checkpoint(tmp_path / "bare")
+    np.testing.assert_allclose(loaded["v"], np.ones(3))
