@@ -75,7 +75,9 @@ def main():
 
     write_metrics(args.results / "exp06a_metrics.json", {
         "km_pop": float(res.theta),
-        "sigma": float(res.sigma),
+        # the SAEM fixed-effect update is unconstrained and the NLL is even
+        # in sigma (every use is sigma^2), so report the magnitude
+        "sigma": float(abs(res.sigma)),
         "omega": float(res.omega),
         "final_nll": float(res.nll_trace[-1]),
         "km_map_median": float(np.median(km_map)),
