@@ -342,20 +342,38 @@ def posterior_chains(
     eta: jax.Array,
     omega: jax.Array,
     n_steps: int = 3000,
-    proposal_std: float = 0.1,
+    proposal_std: float | None = None,
+    target_acceptance: float = 0.3,
+    warmup: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-individual Metropolis chains at temperature 1 with frozen fixed
-    effects; returns (samples[N, n_steps], acceptance_rate[N])."""
+    effects; returns (samples[N, n_steps], acceptance_rate[N]).
+
+    The proposal scale adapts **per individual** toward ``target_acceptance``
+    (Robbins–Monro on the log-scale) during the first ``warmup`` steps
+    (default ``n_steps // 3``) and then freezes, so the post-warmup segment
+    is a valid Markov chain.  ``proposal_std=None`` starts the scale at the
+    prior scale Ω — a fixed small scale against a wide prior leaves the
+    chains essentially unmixed (the reference's fixed 3000-step pass at
+    ``c-peptide/06-saem.jl:102-135`` relies on a hand-tuned scale instead).
+    The returned acceptance rate is measured over the post-warmup segment.
+    """
     n = data.shape[0]
+    f32 = jnp.float32
+    if warmup is None:
+        warmup = n_steps // 3
+    scale0 = (jnp.maximum(jnp.asarray(omega, f32), 1e-3)
+              if proposal_std is None else jnp.asarray(proposal_std, f32))
     v_ll = jax.vmap(loglik, in_axes=(None, None, 0, 0, 0))
 
     # carry the current state's log-likelihood: fixed effects are frozen
     # here, so it only changes on acceptance — re-solving the ODEs for the
     # unchanged state every step would double the chain's cost
-    def step(carry, k_step):
-        rand, ll_cur, acc = carry
+    def step(carry, inp):
+        rand, ll_cur, log_std, acc = carry
+        k_step, t = inp
         k_prop, k_u = jax.random.split(k_step)
-        prop = rand + jax.random.normal(k_prop, (n,)) * proposal_std
+        prop = rand + jax.random.normal(k_prop, (n,), f32) * jnp.exp(log_std)
         ll_prop = v_ll(theta, sigma, prop, individuals, data)
         log_ratio = (_normal_logpdf(prop, eta, omega)
                      - _normal_logpdf(rand, eta, omega)
@@ -363,13 +381,21 @@ def posterior_chains(
         accept = jnp.log(jax.random.uniform(k_u, (n,))) < log_ratio
         rand = jnp.where(accept, prop, rand)
         ll_cur = jnp.where(accept, ll_prop, ll_cur)
-        return (rand, ll_cur, acc + accept), rand
+        lr = 1.0 / (1.0 + t.astype(f32)) ** 0.6
+        log_std = jnp.where(
+            t < warmup,
+            log_std + lr * (accept.astype(f32) - target_acceptance),
+            log_std)
+        acc = acc + jnp.where(t >= warmup, accept.astype(jnp.int32), 0)
+        return (rand, ll_cur, log_std, acc), rand
 
     ll0 = v_ll(theta, sigma, init, individuals, data)
-    (_, _, acc), samples = lax.scan(
-        step, (init, ll0, jnp.zeros((n,), jnp.int32)),
-        jax.random.split(key, n_steps))
-    return jnp.swapaxes(samples, 0, 1), acc / n_steps
+    (_, _, _, acc), samples = lax.scan(
+        step,
+        (init.astype(f32), ll0, jnp.full((n,), jnp.log(scale0), f32),
+         jnp.zeros((n,), jnp.int32)),
+        (jax.random.split(key, n_steps), jnp.arange(n_steps)))
+    return jnp.swapaxes(samples, 0, 1), acc / max(n_steps - warmup, 1)
 
 
 def individual_maps(

@@ -75,6 +75,39 @@ def test_saem_post_hoc_estimators(rng):
     assert np.all(np.asarray(acc) > 0.01)
 
 
+def test_posterior_chains_mix_against_wide_prior(rng):
+    """Round-1 regression: a fixed proposal std of 0.1 against a wide prior
+    (Ω ≈ 9) left the 3000-step chains essentially unmixed
+    (posterior-mean-vs-MAP correlation 0.04).  The adaptive proposal must
+    reach a sane acceptance band and a posterior mean that tracks the MAP."""
+    loglik, inds, data, r_true = _linear_gaussian_setup(rng, n=16)
+    theta = jnp.asarray(1.5)
+    sigma = jnp.asarray(0.3)
+    omega = jnp.asarray(9.0)     # deliberately much wider than the posterior
+    init = jnp.zeros(data.shape[0])
+
+    maps = individual_maps(loglik, theta, sigma, inds, data, init,
+                           eta=jnp.asarray(0.0), omega=omega)
+    n_mh = 1500
+    chains, acc = posterior_chains(loglik, theta, sigma, inds, data,
+                                   jax.random.key(9), init,
+                                   eta=jnp.asarray(0.0), omega=omega,
+                                   n_steps=n_mh)
+    acc = np.asarray(acc)
+    assert np.all(acc > 0.10) and np.all(acc < 0.65), acc
+    post_mean = np.asarray(chains[:, n_mh // 2:]).mean(axis=1)
+    rho = np.corrcoef(post_mean, np.asarray(maps))[0, 1]
+    assert rho > 0.8, rho
+    # split-R̂ over the kept segment of each chain stays near 1
+    kept = np.asarray(chains[:, n_mh // 2:])
+    a, b = np.split(kept, 2, axis=1)
+    w = 0.5 * (a.var(axis=1, ddof=1) + b.var(axis=1, ddof=1))
+    m = kept.shape[1] // 2
+    bvar = m * (a.mean(axis=1) - b.mean(axis=1)) ** 2 / 2.0
+    rhat = np.sqrt((w * (m - 1) / m + bvar / m + 1e-12) / (w + 1e-12))
+    assert np.all(rhat < 1.2), rhat
+
+
 def test_saem_cude_smoke(rng):
     from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
     from conditional_ude_tpu.nn import chain
