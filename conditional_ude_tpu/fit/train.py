@@ -108,6 +108,26 @@ def _pallas_eligible(model: CPeptideModel, cfg: TrainConfig) -> bool:
             and net.output_activation == "softplus")
 
 
+def initial_designs(net, n: int, key: jax.Array, cfg: TrainConfig,
+                    seed: int | None = None):
+    """Joint initial designs: NN Glorot-uniform batch + β Latin hypercube.
+
+    Every (individual, conditional-dim) pair is an independent LHS dimension
+    — the reference samples each dimension of the design separately
+    (``src/parameter-estimation.jl:36-38,352``).  Returns
+    (nn_inits[G, P], betas_init[G, N, c]).
+    """
+    g = cfg.initial_guesses
+    nn_inits = net.init_batch(key, g)
+    np_rng = np.random.default_rng(
+        seed if seed is not None else int(np.asarray(jax.random.bits(key))))
+    beta_flat = latin_hypercube(np_rng, g, n * cfg.n_conditional,
+                                cfg.lhs_lower, cfg.lhs_upper)
+    betas_init = jnp.asarray(beta_flat, jnp.float32).reshape(
+        g, n, cfg.n_conditional)
+    return nn_inits, betas_init
+
+
 def train_conditional(
     model: CPeptideModel,
     cohort: Cohort,
@@ -132,12 +152,7 @@ def train_conditional(
     g = g_orig = cfg.initial_guesses
 
     # -- initial designs (NN: Glorot-uniform batch; β: Latin hypercube) -----
-    nn_inits = model.net.init_batch(key, g)                       # [G, P]
-    np_rng = np.random.default_rng(
-        seed if seed is not None else int(np.asarray(jax.random.bits(key))))
-    beta_flat = latin_hypercube(np_rng, g, n, cfg.lhs_lower, cfg.lhs_upper)
-    betas_init = jnp.asarray(beta_flat, jnp.float32)[..., None]
-    betas_init = jnp.repeat(betas_init, cfg.n_conditional, axis=-1)  # [G,N,c]
+    nn_inits, betas_init = initial_designs(model.net, n, key, cfg, seed)
 
     cohort_full = cohort
     if mesh is not None:

@@ -136,6 +136,32 @@ def test_train_conditional_two_parameters(rng):
     assert float(res.objectives[0]) < var * 5
 
 
+def test_initial_designs_per_dimension_lhs(rng):
+    """Multi-conditional initial designs must sample every
+    (individual, conditional-dim) pair independently — a repeated single
+    draw (the round-1 regression) collapses the design space
+    (``src/parameter-estimation.jl:36-38``)."""
+    from conditional_ude_tpu.fit.train import initial_designs
+
+    net = chain(4, 2, "tanh", input_dims=3)
+    cfg = TrainConfig(initial_guesses=64, n_conditional=2,
+                      lhs_lower=-2.0, lhs_upper=0.0)
+    _, betas = initial_designs(net, 5, jax.random.key(3), cfg, seed=11)
+    b = np.asarray(betas)
+    assert b.shape == (64, 5, 2)
+    # the two conditional dims of the same individual must differ
+    assert np.abs(b[:, :, 0] - b[:, :, 1]).max() > 0.1
+    # LHS stratification: each scalar dimension's variance matches the
+    # uniform variance (range²/12) within a loose factor
+    var = b.reshape(64, -1).var(axis=0)
+    uni = (2.0**2) / 12.0
+    assert np.all(var > 0.5 * uni) and np.all(var < 1.5 * uni), var
+    # and its marginals cover the range (LHS guarantees one point/stratum)
+    assert b.min() >= -2.0 and b.max() <= 0.0
+    assert np.all(b.reshape(64, -1).min(axis=0) < -1.8)
+    assert np.all(b.reshape(64, -1).max(axis=0) > -0.2)
+
+
 def test_evaluate_model_prefers_true_weights(rng):
     model, net, cohort, nn_true, betas_true = \
         _synthetic_conditional_cohort(rng)
