@@ -30,7 +30,9 @@ def main():
 
     from conditional_ude_tpu.fit.train import (
         TrainConfig,
+        evaluate_model,
         fit_betas_sigma,
+        select_best,
         train_conditional,
     )
     from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
@@ -52,16 +54,32 @@ def main():
     rows = []
     for frac in fractions:
         if frac >= 1.0:
-            sub = train
+            sub, held = train, None
         else:
-            idx, _ = stratified_split(rng, train.types, frac)
-            sub = train.subset(idx)
+            idx, idx_held = stratified_split(rng, train.types, frac)
+            sub, held = train.subset(idx), train.subset(idx_held)
         cohort_sub = build_cohort(sub.glucose, sub.timepoints, sub.cpeptide,
                                   sub.ages, sub.t2dm)
         with Timer() as t:
             res = train_conditional(model, cohort_sub,
                                     jax.random.key(args.seed), cfg)
-            nn_best = res.nn_params[0]
+            # restart selection on the UNUSED train subjects: picking the
+            # best-train restart at tiny fractions selects NNs that overfit
+            # a handful of subjects and blow up on single test individuals
+            # (round-1 produced fraction-0.1 test-SSE means of ~500); the
+            # held-out individuals exist by construction of the ablation,
+            # so use them exactly like exp02's validation selection
+            if held is not None and len(held.ages) > 0:
+                cohort_held = build_cohort(
+                    held.glucose, held.timepoints, held.cpeptide,
+                    held.ages, held.t2dm)
+                val_objs = evaluate_model(
+                    model, res.nn_params, res.betas, cohort_held,
+                    lbfgs_iters=50 if args.smoke else 500)
+                best = select_best(val_objs)
+            else:
+                best = 0
+            nn_best = res.nn_params[best]
             b, s, o = fit_betas_sigma(
                 model, nn_best, cohort_test, initial_beta=-1.0,
                 lbfgs_iters=100 if args.smoke else 1000)
@@ -69,15 +87,22 @@ def main():
         s = np.asarray(s)
         n_t = test.timepoints.shape[0]
         sse = (o - (n_t / 2) * np.log(s**2)) * (2 * s**2)
+        finite = sse[np.isfinite(sse)]
+        med = float(np.median(finite))
+        # explicit outlier accounting: subjects whose SSE exceeds 10x the
+        # cohort median are reported separately so the mean is interpretable
+        out_mask = finite > 10.0 * max(med, 1e-12)
         rows.append({
             "fraction": frac,
             "n_train": len(sub.ages),
+            "selected_restart": int(best),
             "train_objective": float(res.objectives[0]),
-            "test_sse_mean": float(np.mean(sse[np.isfinite(sse)])),
-            # median is the robust headline: with tiny training fractions
-            # the best-train restart can blow up on single test subjects
-            # (the reference script does no validation selection either)
-            "test_sse_median": float(np.median(sse[np.isfinite(sse)])),
+            "test_sse_mean": float(np.mean(finite)),
+            "test_sse_mean_inliers": float(np.mean(finite[~out_mask]))
+            if (~out_mask).any() else float("nan"),
+            "test_sse_median": med,
+            "n_outliers": int(out_mask.sum()),
+            "n_nonfinite": int(np.sum(~np.isfinite(sse))),
             "seconds": round(t.seconds, 1),
         })
         print(rows[-1], file=sys.stderr)
@@ -89,6 +114,10 @@ def main():
                                  for r in rows},
         "test_sse_median_by_fraction": {
             str(r["fraction"]): r["test_sse_median"] for r in rows},
+        "test_sse_inlier_mean_by_fraction": {
+            str(r["fraction"]): r["test_sse_mean_inliers"] for r in rows},
+        "outliers_by_fraction": {
+            str(r["fraction"]): r["n_outliers"] for r in rows},
     })
 
 
