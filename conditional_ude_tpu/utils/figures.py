@@ -56,10 +56,16 @@ def error_violins(errors: np.ndarray, types: np.ndarray, ylabel="MSE"):
 
 
 def model_fit_panels(timepoints, observations, simulations, types,
-                     indices=None, dense_t=None):
+                     indices=None, dense_t=None, ci_simulations=None):
     """Observed points + simulated curves for selected individuals
     (``02-conditional.jl`` figs 2-3).  ``simulations[N, T]`` on
-    ``dense_t`` (defaults to ``timepoints``)."""
+    ``dense_t`` (defaults to ``timepoints``).
+
+    ``ci_simulations`` — optional ``{position: (lower_curve|None,
+    upper_curve|None)}`` keyed by panel position: the profile-CI-bound
+    trajectories the reference draws dotted around the median fit
+    (``02-conditional.jl:186-208``); a ``None`` curve marks an open
+    (unidentifiable) CI side."""
     plt = _plt()
     idx = np.arange(len(types)) if indices is None else np.asarray(indices)
     n = len(idx)
@@ -67,8 +73,13 @@ def model_fit_panels(timepoints, observations, simulations, types,
     if n == 1:
         axes = [axes]
     t_sim = timepoints if dense_t is None else dense_t
-    for ax, i in zip(axes, idx):
+    for pos, (ax, i) in enumerate(zip(axes, idx)):
         t = types[i]
+        if ci_simulations is not None and pos in ci_simulations:
+            for bound in ci_simulations[pos]:
+                if bound is not None:
+                    ax.plot(t_sim, bound, color=COLORS.get(t, "k"),
+                            lw=0.9, ls=":", alpha=0.6)
         ax.plot(t_sim, simulations[i], color=COLORS.get(t, "k"), lw=1.5)
         ax.scatter(timepoints, observations[i], s=14,
                    color=COLORS.get(t, "k"), marker=MARKERS.get(t, "o"))
@@ -347,6 +358,53 @@ def pareto_front(complexities, losses, chosen: int | None = None):
     ax.set_xlabel("equation complexity")
     ax.set_ylabel("loss")
     ax.set_yscale("log")
+    return fig
+
+
+def comparison_panels(dense_t, sims_cude, sims_ude, timepoints,
+                      mean_obs, ste_obs, type_names):
+    """Side-by-side cUDE-vs-UDE fits of the per-type test means
+    (``02-conditional.jl:716-795``): left panel conditional, right panel
+    non-conditional, one curve + errorbar series per type."""
+    plt = _plt()
+    fig, (ax_c, ax_u) = plt.subplots(1, 2, figsize=(6.4, 2.8), sharey=True)
+    for i, t in enumerate(type_names):
+        for ax, sims in ((ax_c, sims_cude), (ax_u, sims_ude)):
+            ax.plot(dense_t, sims[i], color=COLORS.get(t, "k"), lw=1.6,
+                    label=t)
+            ax.errorbar(timepoints, mean_obs[i], yerr=ste_obs[i], fmt="none",
+                        ecolor=COLORS.get(t, "k"), elinewidth=0.8,
+                        capsize=2)
+            ax.scatter(timepoints, mean_obs[i], s=18,
+                       color=COLORS.get(t, "k"), marker=MARKERS.get(t, "o"))
+    ax_c.set_title("cUDE", fontsize=10)
+    ax_u.set_title("UDE", fontsize=10)
+    for ax in (ax_c, ax_u):
+        ax.set_xlabel("time (min)")
+    ax_c.set_ylabel("C-peptide (nmol/L)")
+    ax_u.legend(fontsize=7)
+    return fig
+
+
+def age_distributions(ages, types, pvalues: dict | None = None):
+    """Per-type age distributions with pairwise Mann-Whitney p-values
+    (the reference's supplementary age figure; tests from
+    ``00-prepare-data.jl:34-36``)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(4, 3))
+    present = [t for t in TYPES if (types == t).any()]
+    data = [np.asarray(ages)[types == t] for t in present]
+    parts = ax.violinplot(data, showmedians=True)
+    for body, t in zip(parts["bodies"], present):
+        body.set_facecolor(COLORS[t])
+        body.set_alpha(0.7)
+    ax.set_xticks(range(1, len(present) + 1), present)
+    ax.set_ylabel("age (years)")
+    if pvalues:
+        txt = "\n".join(f"{a} vs {b}: p={p:.3f}"
+                        for (a, b), p in pvalues.items())
+        ax.text(0.02, 0.98, txt, transform=ax.transAxes, fontsize=7,
+                va="top")
     return fig
 
 

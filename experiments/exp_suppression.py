@@ -28,6 +28,10 @@ def main():
                    help="subset of regularization levels (one process per "
                         "λ sidesteps a cumulative axon-worker fault)")
     p.add_argument("--no-test-stage", action="store_true")
+    p.add_argument("--fine", action="store_true",
+                   help="the reference's init_run fine λ grid: "
+                        "{0, 0.01} ∪ 10^[-1.8:0.2:-0.6] ∪ {1, 10, 100} "
+                        "(suppression/results/init_run/, 12 points)")
     args = p.parse_args()
     configure_backend(args)
 
@@ -64,6 +68,10 @@ def main():
 
     net = suppression_net(depth=5, width=3)
     lambdas = [0.0, 0.1] if args.smoke else [0.0, 0.001, 0.01, 0.1, 1.0]
+    if args.fine:
+        lambdas = sorted({0.0, 0.01, 1.0, 10.0, 100.0}
+                         | {float(10.0 ** e)
+                            for e in np.linspace(-1.8, -0.6, 7)})
     if args.lambdas is not None:
         lambdas = list(args.lambdas)
     cfg = SuppressionFitConfig(initial_space=50, select_best_n=3,
@@ -115,7 +123,8 @@ def main():
         }
 
     # per-λ partial outputs so a λ-subset process contributes incrementally
-    tag = ("" if args.lambdas is None
+    tag = ("_fine" if args.fine else
+           "" if args.lambdas is None
            else "_" + "_".join(str(l) for l in lambdas))
     write_csv(args.results / f"suppression_sweep{tag}.csv", rows)
     if args.no_test_stage:
