@@ -64,7 +64,7 @@ def main():
             [train.insulin_sensitivity, test.insulin_sensitivity])),
     }
 
-    # likelihood-profile CIs + identifiability census (:186-208, 360-424)
+    # likelihood-profile CIs on the test cohort (:186-208)
     steps = 200 if args.smoke else 10_000
     prof = cohort_beta_profiles(model, nn_best, cohort_test,
                                 sigmas=jnp.asarray(s_test),
@@ -74,6 +74,29 @@ def main():
     census = classify_identifiability(ci)
     census_counts = {c: int((census == c).sum()) for c in np.unique(census)}
 
+    # identifiability census over train+test COMBINED, each subject scanned
+    # over its own β̂ᵢ ± 10 window (:360-424: 117 subjects, Δβ axis,
+    # cantelli95 threshold, 1000 steps)
+    from conditional_ude_tpu.models.cpeptide import build_cohort
+
+    glucose_cat = np.concatenate([train.glucose, test.glucose])
+    cpeptide_cat = np.concatenate([train.cpeptide, test.cpeptide])
+    ages_cat = np.concatenate([train.ages, test.ages])
+    types_cat = np.concatenate([train.types, test.types])
+    cohort_all = build_cohort(glucose_cat, train.timepoints, cpeptide_cat,
+                              ages_cat, types_cat == "T2DM")
+    b_cat = np.concatenate([b_train, b_test])
+    s_cat = np.concatenate([s_train, s_test])
+    census_steps = 100 if args.smoke else 1000
+    prof_all = cohort_beta_profiles(
+        model, nn_best, cohort_all, sigmas=jnp.asarray(s_cat),
+        lower=-10.0, upper=10.0, steps=census_steps,
+        center=jnp.asarray(b_cat))
+    ci_all = find_confidence_intervals(prof_all, "cantelli95")
+    census_all = classify_identifiability(ci_all)
+    census_all_counts = {c: int((census_all == c).sum())
+                         for c in np.unique(census_all)}
+
     # persist the canonical (β, σ) fits + profile scans so downstream
     # consumers (exp_figures, exp_advi) reuse them instead of re-fitting
     from conditional_ude_tpu.utils.checkpoint import save_checkpoint
@@ -82,6 +105,8 @@ def main():
         "beta_test": b_test, "sigma_test": s_test, "sse_test": sse_test,
         "profile_grid": np.asarray(prof.grid),
         "profile_values": np.asarray(prof.values),
+        "delta_grid": np.asarray(prof_all.grid),
+        "delta_values": np.asarray(prof_all.values),
     }, metadata={"script": "exp02", "best_model_index": int(best),
                  "bounds": [float(lb), float(ub)]})
 
@@ -170,6 +195,7 @@ def main():
     ude_path = args.artifacts / "ude_neural_parameters.npz"
     if ude_path.exists():
         from conditional_ude_tpu.models.cpeptide import simulate_cohort
+        from conditional_ude_tpu.nn import chain
 
         ude_net = chain(4, 2, "tanh", input_dims=1)
         ude_model = CPeptideModel(kind="ude", net=ude_net)
@@ -198,6 +224,7 @@ def main():
         "beta_bounds": [float(lb), float(ub)],
         "spearman": corr,
         "identifiability_census_test": census_counts,
+        "identifiability_census_all": census_all_counts,
     })
 
 
