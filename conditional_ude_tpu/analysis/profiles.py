@@ -69,6 +69,7 @@ def cohort_beta_profiles(
     steps: int = 10_000,
     chunk: int = 500,
     use_pallas: bool | None = None,
+    center: jax.Array | None = None,
     **solver_kwargs,
 ) -> Profile:
     """β-profiles for every individual at once (reference :4-17 looped).
@@ -76,9 +77,16 @@ def cohort_beta_profiles(
     Returns ``values[N, S]``; the scan is chunked over the grid axis to bound
     memory (N × S trajectories).  On TPU the plain conditional model routes
     through the fused Pallas kernel (lanes = individuals × grid points).
+
+    ``center`` — optional per-individual offsets ``[N]``: subject *i* is
+    profiled at ``center[i] + grid``, i.e. the grid becomes a shared Δβ axis.
+    This is the reference's identifiability census, which scans every subject
+    over its own β̂ᵢ ± 10 window (``c-peptide/02-conditional.jl:374-378``).
     """
     grid = jnp.linspace(lower, upper, steps)
     sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (cohort.n,))
+    ctr = (jnp.zeros((cohort.n,), jnp.float32) if center is None
+           else jnp.asarray(center, jnp.float32))
 
     def _kernel_ok():
         net = model.net
@@ -121,7 +129,7 @@ def cohort_beta_profiles(
                 model.net,
                 jnp.broadcast_to(nn_params[None],
                                  (s_chunk * n, nn_params.shape[0])),
-                jnp.repeat(g_chunk, n),
+                (g_chunk[:, None] + ctr[None, :]).reshape(-1),
                 expand(inds.glucose),
                 expand(cohort.cpeptide),
                 expand(kin),
@@ -134,20 +142,21 @@ def cohort_beta_profiles(
         return Profile(grid=grid, values=values,
                        minimum=jnp.min(values, axis=1))
 
-    def at_beta(beta, ind, data, s):
+    def at_beta(beta, c, ind, data, s):
         kw = dict(solver="rk4", substeps=8)   # throughput default
         kw.update(solver_kwargs)
-        err = sse(model, {"neural": nn_params, "conditional": beta}, ind,
-                  cohort.timepoints, data, **kw)
+        err = sse(model, {"neural": nn_params, "conditional": beta + c},
+                  ind, cohort.timepoints, data, **kw)
         return err / (2.0 * s**2)
 
     profile_chunk = jax.jit(jax.vmap(            # over individuals
-        jax.vmap(at_beta, in_axes=(0, None, None, None)),   # over grid
-        in_axes=(None, 0, 0, 0)))
+        jax.vmap(at_beta, in_axes=(0, None, None, None, None)),  # over grid
+        in_axes=(None, 0, 0, 0, 0)))
 
     parts = []
     for i in range(0, steps, chunk):
-        parts.append(profile_chunk(grid[i:i + chunk], cohort.individuals,
+        parts.append(profile_chunk(grid[i:i + chunk], ctr,
+                                   cohort.individuals,
                                    cohort.cpeptide, sig))
     values = jnp.concatenate(parts, axis=1)      # [N, S]
     return Profile(grid=grid, values=values, minimum=jnp.min(values, axis=1))

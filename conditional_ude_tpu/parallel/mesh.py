@@ -141,3 +141,69 @@ def shard_cohort(cohort: Any, mesh: Mesh,
     cpep = shard_leading(cohort.cpeptide, mesh, axis_name)
     tp = jax.device_put(cohort.timepoints, NamedSharding(mesh, P()))
     return Cohort(individuals=inds, cpeptide=cpep, timepoints=tp)
+
+
+def pad_cohort(cohort: Any, multiple: int) -> Any:
+    """Pad a cohort's individuals axis up to a multiple (replicating the
+    last subject) so it divides evenly across a mesh axis; callers slice
+    the padded results back to the true ``n``."""
+    from conditional_ude_tpu.models.cpeptide import Cohort
+
+    if cohort.n % multiple == 0:
+        return cohort
+    inds = jax.tree.map(lambda a: pad_to_multiple(a, multiple),
+                        cohort.individuals)
+    cpep = pad_to_multiple(cohort.cpeptide, multiple)
+    return Cohort(individuals=inds, cpeptide=cpep,
+                  timepoints=cohort.timepoints)
+
+
+def sharded_fit_betas(model, nn_params, cohort, mesh: Mesh,
+                      axis_name: str = "individuals", sigma: bool = False,
+                      **kwargs):
+    """Per-individual (β[, σ]) re-estimation sharded over the population
+    axis: the cohort splits over ``axis_name`` and the ordinary vmapped
+    bounded-L-BFGS program partitions with zero cross-chip communication
+    (each subject's fit is independent — the reference's serial loop at
+    ``src/parameter-estimation.jl:272-307``).
+
+    ``sigma=True`` routes to :func:`~…fit.train.fit_betas_sigma`.
+    """
+    from conditional_ude_tpu.fit.train import fit_betas, fit_betas_sigma
+
+    n = cohort.n
+    size = mesh.shape[axis_name]
+    cohort_s = shard_cohort(pad_cohort(cohort, size), mesh, axis_name)
+    fn = fit_betas_sigma if sigma else fit_betas
+    out = fn(model, nn_params, cohort_s, **kwargs)
+    return tuple(x[:n] for x in out)
+
+
+def sharded_beta_profiles(model, nn_params, cohort, mesh: Mesh,
+                          axis_name: str = "individuals",
+                          sigmas=1.0, center=None, **kwargs):
+    """Cohort likelihood-profile scans sharded over the individuals axis
+    (``src/likelihood-profiles.jl`` looped per subject in the reference);
+    each chip scans its population shard over the full β grid."""
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.analysis.profiles import (
+        Profile,
+        cohort_beta_profiles,
+    )
+
+    n = cohort.n
+    size = mesh.shape[axis_name]
+    cohort_p = pad_cohort(cohort, size)
+    sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (n,))
+    sig = shard_leading(pad_to_multiple(sig, size), mesh, axis_name)
+    ctr = None
+    if center is not None:
+        ctr = shard_leading(
+            pad_to_multiple(jnp.asarray(center, jnp.float32), size),
+            mesh, axis_name)
+    prof = cohort_beta_profiles(
+        model, nn_params, shard_cohort(cohort_p, mesh, axis_name),
+        sigmas=sig, center=ctr, **kwargs)
+    return Profile(grid=prof.grid, values=prof.values[:n],
+                   minimum=prof.minimum[:n])

@@ -83,6 +83,91 @@ def test_saem_sharded_matches_unsharded(rng):
                                np.asarray(plain.theta), atol=1e-5)
 
 
+def _synthetic_cohort(rng, n):
+    from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+    from conditional_ude_tpu.nn import chain
+
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    cohort = build_cohort(5 + rng.uniform(0, 5, (n, 5)), tp,
+                          0.5 + rng.uniform(0, 1.5, (n, 5)),
+                          rng.uniform(30, 70, n), np.zeros(n, bool))
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    return model, net, cohort
+
+
+def test_train_conditional_mesh_parity_realistic_shape(rng):
+    """``train_conditional`` on a 2D (restarts × individuals) mesh at the
+    production cohort shape (82 fit individuals, 32 restarts screened from
+    256 designs) must reproduce the single-device objectives.  Round-1 only
+    smoke-validated 8 individuals / 2-iteration refinement."""
+    from conditional_ude_tpu.fit.train import TrainConfig, train_conditional
+
+    model, net, cohort = _synthetic_cohort(rng, 82)
+    cfg = TrainConfig(initial_guesses=256, selected_initials=8,
+                      adam_iters=5, lbfgs_iters=5, screen_chunk=256,
+                      final_eval_tsit5=False)
+    plain = train_conditional(model, cohort, jax.random.key(3), cfg)
+
+    mesh = make_mesh(("restarts", "individuals"), (4, 2))
+    sharded = train_conditional(model, cohort, jax.random.key(3), cfg,
+                                mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded.screen_losses),
+                               np.asarray(plain.screen_losses), rtol=2e-3)
+    np.testing.assert_allclose(np.sort(np.asarray(sharded.objectives)),
+                               np.sort(np.asarray(plain.objectives)),
+                               rtol=5e-3)
+
+
+def test_sharded_fit_betas_parity(rng):
+    """β (and β+σ) re-estimation sharded over the population axis matches
+    the single-device fit — including a cohort size that does NOT divide
+    the mesh axis (padding path)."""
+    from conditional_ude_tpu.fit.train import fit_betas, fit_betas_sigma
+    from conditional_ude_tpu.parallel import sharded_fit_betas
+
+    model, net, cohort = _synthetic_cohort(rng, 11)   # 11 % 8 != 0
+    nn = net.init(jax.random.key(5))
+    mesh = make_mesh(("individuals",))
+
+    b0, o0 = map(np.asarray, fit_betas(model, nn, cohort,
+                                       lbfgs_iters=60))
+    b1, o1 = map(np.asarray, sharded_fit_betas(model, nn, cohort, mesh,
+                                               lbfgs_iters=60))
+    assert b1.shape == (11,)
+    # partitioned execution reorders float reductions inside the L-BFGS
+    # iterations, so parity is tight but not bitwise
+    np.testing.assert_allclose(b1, b0, atol=2e-3)
+    np.testing.assert_allclose(o1, o0, rtol=2e-3, atol=1e-5)
+
+    bs0, ss0, os0 = map(np.asarray, fit_betas_sigma(model, nn, cohort,
+                                                    lbfgs_iters=60))
+    bs1, ss1, os1 = map(np.asarray, sharded_fit_betas(
+        model, nn, cohort, mesh, sigma=True, lbfgs_iters=60))
+    np.testing.assert_allclose(bs1, bs0, atol=2e-3)
+    np.testing.assert_allclose(ss1, ss0, atol=2e-3)
+
+
+def test_sharded_beta_profiles_parity(rng):
+    """Cohort profile scans sharded over individuals (with per-subject Δβ
+    centers) match the single-device scan."""
+    from conditional_ude_tpu.analysis import cohort_beta_profiles
+    from conditional_ude_tpu.parallel import sharded_beta_profiles
+
+    model, net, cohort = _synthetic_cohort(rng, 6)    # 6 % 8 != 0
+    nn = net.init(jax.random.key(6))
+    centers = jnp.linspace(-1.5, -0.5, 6)
+    mesh = make_mesh(("individuals",))
+
+    p0 = cohort_beta_profiles(model, nn, cohort, lower=-2.0, upper=2.0,
+                              steps=64, center=centers)
+    p1 = sharded_beta_profiles(model, nn, cohort, mesh, lower=-2.0,
+                               upper=2.0, steps=64, center=centers)
+    assert p1.values.shape == (6, 64)
+    np.testing.assert_allclose(np.asarray(p1.values),
+                               np.asarray(p0.values), rtol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from conditional_ude_tpu.utils.checkpoint import (
         cached,
