@@ -83,6 +83,49 @@ def main():
                         2.0).astype(np.float32)
     re_iters = 100 if args.smoke else 1000
     prof_steps = 200 if args.smoke else 2000
+    ci_steps = 200 if args.smoke else 10_000
+
+    from conditional_ude_tpu.analysis import (
+        find_confidence_intervals,
+        likelihood_profile,
+    )
+    from conditional_ude_tpu.fit.losses import sse
+    from conditional_ude_tpu.models.cpeptide import simulate
+
+    def ci_bound_sims(fit_model, nn_p, betas, sigmas, cohort, idx_med,
+                      method="cantelli95"):
+        """Profile-CI-bound trajectories around selected subjects
+        (``02-conditional.jl:186-208``: profile β over [β−10, β+15],
+        threshold crossing, simulate both bound β's; a ``None`` side means
+        the CI is open there)."""
+        out = {}
+        for pos, i in enumerate(np.asarray(idx_med)):
+            i = int(i)
+            b_i, s_i = float(betas[i]), float(sigmas[i])
+            ind = jax.tree.map(lambda a: a[i], cohort.individuals)
+            data_i = jnp.asarray(cohort.cpeptide[i])
+
+            def loss_b(beta):
+                return sse(fit_model, {"neural": nn_p, "conditional": beta},
+                           ind, cohort.timepoints, data_i,
+                           solver="rk4", substeps=8)
+
+            prof = likelihood_profile(loss_b, b_i - 10.0, b_i + 15.0,
+                                      steps=ci_steps, sigma=s_i)
+            ci = find_confidence_intervals(prof, method)
+
+            def sim_at(beta):
+                return np.asarray(simulate(
+                    fit_model,
+                    {"neural": nn_p,
+                     "conditional": jnp.asarray(beta, jnp.float32)},
+                    ind, jnp.asarray(dense_t), solver="rk4",
+                    substeps=4).ys[:, 0])
+
+            out[pos] = (
+                sim_at(ci.lower) if np.isfinite(ci.lower) else None,
+                sim_at(ci.upper) if np.isfinite(ci.upper) else None)
+        return out
 
     # ------------------------------------------------------------------ data
     if want("data"):
@@ -102,6 +145,19 @@ def main():
         else:
             emit(figures.clamp_insulin_illustration(tp_c, ins, types_c),
                  outdir, "illustration_clamp_insulin.png")
+
+        # per-type age distributions + Mann-Whitney tests (the reference's
+        # supplementary age panel; tests at ``00-prepare-data.jl:34-36``)
+        from conditional_ude_tpu.utils.stats import mann_whitney_u
+
+        a_all = np.concatenate([train.ages, test.ages])
+        pvals = {}
+        for a, b in (("NGT", "IGT"), ("NGT", "T2DM"), ("IGT", "T2DM")):
+            xa, xb = a_all[t_all == a], a_all[t_all == b]
+            if xa.size and xb.size:
+                pvals[(a, b)] = mann_whitney_u(xa, xb)
+        emit(figures.age_distributions(a_all, t_all, pvals),
+             outdir, "supp_age.png")
 
     # ------------------------------------------------------------------ cude
     cude_path = art / "cude_neural_parameters.npz"
@@ -180,10 +236,14 @@ def main():
             train.timepoints, train.cpeptide, sims_train, train.types,
             indices=median_index_per_type(train.types, err_train),
             dense_t=dense_t), outdir, "model_fit_train_median.png")
+
+        idx_med_test = median_index_per_type(test.types, err_test)
         emit(figures.model_fit_panels(
             test.timepoints, test.cpeptide, sims_test, test.types,
-            indices=median_index_per_type(test.types, err_test),
-            dense_t=dense_t), outdir, "model_fit_test_median.png")
+            indices=idx_med_test, dense_t=dense_t,
+            ci_simulations=ci_bound_sims(model, nn_best, b_test, s_test,
+                                         cohort_test, idx_med_test)),
+            outdir, "model_fit_test_median.png")
         emit(figures.fit_grid(test.timepoints, test.cpeptide, dense_t,
                               sims_test, test.types),
              outdir, "model_fit_test_all.png")
@@ -236,6 +296,14 @@ def main():
         # from exp02's canonical 10k-step scan when available
         from conditional_ude_tpu.analysis import THRESHOLDS
 
+        # prefer exp02's train+test Δβ census profiles (the reference's
+        # likelihood_curves figure IS the Δβ scan, 02-conditional.jl:360-424)
+        if fit_path.exists():
+            zf2 = np.load(fit_path)
+            if "delta_values" in zf2.files and \
+                    zf2["delta_values"].shape[0] == (cohort_train.n
+                                                     + cohort_test.n):
+                saved_prof = (zf2["delta_grid"], zf2["delta_values"])
         if saved_prof is not None:
             p_grid, p_values = saved_prof
         else:
@@ -247,9 +315,12 @@ def main():
                                         upper=float(ub) + 1.0,
                                         steps=prof_steps)
             p_grid, p_values = np.asarray(prof.grid), np.asarray(prof.values)
+        lk_types = (np.concatenate([train.types, test.types])
+                    if p_values.shape[0] == cohort_train.n + cohort_test.n
+                    else test.types)
         emit(figures.likelihood_curves(p_grid, p_values,
                                        THRESHOLDS["cantelli95"],
-                                       types=test.types),
+                                       types=lk_types),
              outdir, "likelihood_curves.png")
 
         # per-candidate β grids (supplementary/other_betas) — training β's
@@ -267,6 +338,87 @@ def main():
                  outdir, "other_betas.png")
         else:
             skip("other_betas.png", "candidate β count != fit-split size")
+
+        # second-best-candidate β correlation (figure_s8,
+        # ``02-conditional.jl:665-711``): refit train+test β's under the
+        # runner-up NN and scatter them against the selected model's β's.
+        # Candidate ranking uses the artifact's training objectives (the
+        # reference hand-picks index 8 of its cached run at :665).
+        if candidates.shape[0] > 1:
+            from conditional_ude_tpu.fit.train import fit_betas
+
+            order2 = np.argsort(np.asarray(z["objectives"]))
+            second = int(order2[1]) if int(order2[0]) == best \
+                else int(order2[0])
+            nn_second = jnp.asarray(candidates[second])
+            b2_vec = betas_cand[second].ravel()
+            lb2 = b2_vec.min() - 0.1 * abs(b2_vec.min())
+            ub2 = b2_vec.max() + 0.1 * abs(b2_vec.max())
+
+            def refit2(c):
+                b, _ = fit_betas(model, nn_second, c, initial_beta=-1.0,
+                                 bounds=(float(lb2), float(ub2)),
+                                 lbfgs_iters=re_iters)
+                return np.asarray(b)
+
+            b2_all = np.concatenate([refit2(cohort_train),
+                                     refit2(cohort_test)])
+            rho2 = spearman(b2_all, b_all)
+            emit(figures.scatter_compare(
+                np.exp(b2_all), np.exp(b_all), "exp(β) model 2",
+                "exp(β) model 1", identity=False),
+                outdir, "second_best_correlation.png")
+            emit(figures.correlation_scatter(
+                np.exp(b2_all), np.exp(b_all), types_all,
+                xlabel="exp(β) model 2", ylabel="exp(β) model 1",
+                rho=rho2), outdir, "second_best_correlation_comparison.png")
+        else:
+            skip("second_best_correlation.png", "single-candidate artifact")
+
+        # cUDE-vs-UDE comparison of the per-type test means
+        # (figure_sx/comparison, ``02-conditional.jl:716-795``)
+        ude_p = art / "ude_neural_parameters.npz"
+        if ude_p.exists():
+            from conditional_ude_tpu.fit.train import fit_betas
+
+            ude_net_c = chain(4, 2, "tanh", input_dims=1)
+            ude_model_c = CPeptideModel(kind="ude", net=ude_net_c)
+            nn_ude = jnp.asarray(np.load(ude_p)["nn_params"][0])
+            type_names = [t for t in ("NGT", "IGT", "T2DM")
+                          if (test.types == t).any()]
+            sel_t = [test.types == t for t in type_names]
+            mean_g = np.stack([test.glucose[s].mean(axis=0) for s in sel_t])
+            mean_c = np.stack([test.cpeptide[s].mean(axis=0) for s in sel_t])
+            ste_c = np.stack([test.cpeptide[s].std(axis=0)
+                              / np.sqrt(s.sum()) for s in sel_t])
+            mean_age = np.array([test.ages[s].mean() for s in sel_t])
+            mean_cohort = build_cohort(
+                mean_g, test.timepoints, mean_c, mean_age,
+                np.array([t == "T2DM" for t in type_names]))
+            b_mean, _ = map(np.asarray, fit_betas(
+                model, nn_best, mean_cohort, initial_beta=-1.0,
+                bounds=(float(lb), float(ub)), lbfgs_iters=re_iters))
+            sims_cu = np.asarray(simulate_cohort(
+                model, nn_best, jnp.asarray(b_mean)[:, None], mean_cohort,
+                saveat=jnp.asarray(dense_t), solver="rk4",
+                substeps=4).ys[:, :, 0])
+            sims_ud = np.asarray(simulate_cohort(
+                ude_model_c, nn_ude,
+                jnp.zeros((len(type_names), 0), jnp.float32), mean_cohort,
+                saveat=jnp.asarray(dense_t), solver="rk4",
+                substeps=4).ys[:, :, 0])
+            emit(figures.comparison_panels(
+                dense_t, sims_cu, sims_ud, test.timepoints, mean_c, ste_c,
+                type_names), outdir, "comparison.png")
+        else:
+            skip("comparison.png", "ude artifact missing")
+
+        # exp02 renders sampled_simulations.png into the same gallery dir
+        # (02-conditional.jl:592-658) — register it in the manifest
+        if (outdir / "sampled_simulations.png").exists():
+            RENDERED.append("sampled_simulations.png")
+        else:
+            skip("sampled_simulations.png", "rendered by exp02; run it first")
     elif want("cude"):
         skip("cude section", f"{cude_path} missing")
 
@@ -306,6 +458,50 @@ def main():
                 indices=median_index_per_type(test.types, err_c),
                 dense_t=dense_t), outdir,
                 "model_fit_test_covariate_median.png")
+
+            # supplementary covariate panel: same median fits with raue95
+            # profile-CI trajectories (``07-covariate-inclusion.jl:160-167``
+            # uses the :raue95 threshold for the covariate model)
+            sc_test = zc["sigma_test"] if "sigma_test" in zc.files else \
+                np.ones_like(bc_test)
+            idx_med_c = median_index_per_type(test.types, err_c)
+            emit(figures.model_fit_panels(
+                test.timepoints, test.cpeptide, sims_c, test.types,
+                indices=idx_med_c, dense_t=dense_t,
+                ci_simulations=ci_bound_sims(
+                    cov_model, nn_cov, bc_test, sc_test, cohort_test,
+                    idx_med_c, method="raue95")),
+                outdir, "supplementary_covariate.png")
+
+            # covariate-β vs the remaining clamp indices
+            # (``07-covariate-inclusion.jl:378-451`` correlations_other_cude)
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            others = [
+                ("age", np.concatenate([train.ages, test.ages])),
+                ("insulin sensitivity", np.concatenate(
+                    [train.insulin_sensitivity, test.insulin_sensitivity])),
+                ("disposition index", np.concatenate(
+                    [train.disposition_indices, test.disposition_indices])),
+            ]
+            figc, axesc = plt.subplots(1, 3, figsize=(8.4, 2.8))
+            for ax, (name, vals) in zip(axesc, others):
+                for t in ("NGT", "IGT", "T2DM"):
+                    sel = types_all == t
+                    if sel.any():
+                        ax.scatter(np.exp(bc_all[sel]), vals[sel], s=14,
+                                   color=figures.COLORS[t],
+                                   marker=figures.MARKERS[t], label=t)
+                ax.set_xlabel("exp(β) (covariate)")
+                ax.set_ylabel(name)
+                ax.set_title(f"ρ = {spearman(np.exp(bc_all), vals):.2f}",
+                             fontsize=9)
+            axesc[0].legend(fontsize=7)
+            figc.tight_layout()
+            emit(figc, outdir, "correlations_other_cude.png")
         else:
             skip("covariate section", "fit sizes do not match the cohorts")
     elif want("covariate"):
@@ -515,6 +711,17 @@ def main():
                                      types=np.concatenate(
                                          [train.types, test.types])),
              outdir, "saem_map_vs_mle.png")
+
+        # SAEM β-vs-first-phase correlation (``06-saem.jl:189-205``
+        # SAEM_correation.png: exp(MAP η_i) against the clamp index)
+        fp_all_s = np.concatenate([train.first_phase, test.first_phase])
+        types_s = np.concatenate([train.types, test.types])
+        if z["beta_map"].shape[0] == fp_all_s.shape[0]:
+            emit(figures.correlation_scatter(
+                np.exp(z["beta_map"]), fp_all_s, types_s,
+                xlabel="exp(β) (SAEM MAP)", ylabel="First-phase clamp",
+                rho=spearman(np.exp(z["beta_map"]), fp_all_s)),
+                outdir, "saem_correlation.png")
         if "nll_trace" in z:
             emit(figures.loss_trace(z["nll_trace"], ylabel="population NLL"),
                  outdir, "saem_nll_trace.png")
