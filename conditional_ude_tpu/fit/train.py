@@ -19,6 +19,8 @@ surface as ``inf`` objectives instead of try/catch skips.
 from __future__ import annotations
 
 import dataclasses
+import sys
+import time
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -85,13 +87,22 @@ class TrainResult(NamedTuple):
 
 
 def _chunked_map(fn, xs, chunk: int):
-    """``lax.map``-style evaluation in bounded-memory chunks (host loop)."""
+    """``lax.map``-style evaluation in bounded-memory chunks (host loop).
+
+    A partial tail chunk is padded up to the chunk size (repeating the last
+    element) so it reuses the full chunk's compiled program instead of
+    triggering a second compile — compiles dominate wall-clock through the
+    TPU tunnel.
+    """
     n = jax.tree.leaves(xs)[0].shape[0]
     jfn = jax.jit(jax.vmap(fn))   # one wrapper → one compile per shape
     outs = []
     for i in range(0, n, chunk):
         part = jax.tree.map(lambda a: a[i : i + chunk], xs)
-        outs.append(jfn(part))
+        m = jax.tree.leaves(part)[0].shape[0]
+        if m < chunk and i > 0:
+            part = jax.tree.map(lambda a: pad_to_multiple(a, chunk), part)
+        outs.append(jfn(part)[:m])
     return jnp.concatenate(outs)
 
 
@@ -150,6 +161,7 @@ def train_conditional(
     cfg = config
     n = cohort.n
     g = g_orig = cfg.initial_guesses
+    _t0 = time.perf_counter()
 
     # -- initial designs (NN: Glorot-uniform batch; β: Latin hypercube) -----
     nn_inits, betas_init = initial_designs(model.net, n, key, cfg, seed)
@@ -200,10 +212,16 @@ def train_conditional(
 
         parts = []
         for i in range(0, g, cfg.screen_chunk):
+            nn_c = nn_inits[i:i + cfg.screen_chunk]
+            b_c = betas_init[i:i + cfg.screen_chunk, :, 0]
+            m = nn_c.shape[0]
+            if m < cfg.screen_chunk and i > 0:
+                # pad the tail chunk to the compiled shape (see _chunked_map)
+                nn_c = pad_to_multiple(nn_c, cfg.screen_chunk)
+                b_c = pad_to_multiple(b_c, cfg.screen_chunk)
             parts.append(population_sse_pallas(
-                model.net, nn_inits[i:i + cfg.screen_chunk],
-                betas_init[i:i + cfg.screen_chunk, :, 0], cohort,
-                substeps=cfg.substeps))
+                model.net, nn_c, b_c, cohort,
+                substeps=cfg.substeps)[:m])
         screen = jnp.concatenate(parts)                            # [G]
     else:
         def screen_loss(p):
@@ -212,6 +230,9 @@ def train_conditional(
 
         screen = _chunked_map(screen_loss, (nn_inits, betas_init),
                               cfg.screen_chunk)                    # [G]
+
+    jax.block_until_ready(screen)
+    _t1 = time.perf_counter()
 
     # -- top-k selection ------------------------------------------------------
     # padded mesh lanes replicate the last real design — mask them out so
@@ -262,6 +283,7 @@ def train_conditional(
         trace_parts.append(tr)
         done_iters += step
     traces = jnp.concatenate(trace_parts, axis=1)
+    _t2 = time.perf_counter()
 
     # -- L-BFGS stage (flat joint vector per restart, chunked dispatches;
     # history restarts at chunk boundaries) -----------------------------------
@@ -295,6 +317,7 @@ def train_conditional(
             lambda nn, b: population_sse(model, nn, b, cohort,
                                          **loss_kw)))(nn2, b2)
 
+    _t3 = time.perf_counter()
     if cfg.final_eval_tsit5 and cfg.solver != "tsit5":
         # parity ranking: re-evaluate final objectives with the adaptive
         # solver the reference uses (one cheap gradient-free batched pass;
@@ -313,6 +336,12 @@ def train_conditional(
                                              solver="tsit5",
                                              max_steps=cfg.max_steps)))(
                 nn2, b2)
+
+    jax.block_until_ready(objs)
+    _t4 = time.perf_counter()
+    print(f"[train_conditional] screen={_t1 - _t0:.1f}s "
+          f"adam={_t2 - _t1:.1f}s lbfgs={_t3 - _t2:.1f}s "
+          f"final_eval={_t4 - _t3:.1f}s", file=sys.stderr)
 
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return TrainResult(nn_params=nn2[order], betas=b2[order],

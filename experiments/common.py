@@ -26,6 +26,16 @@ ARTIFACTS = REPO / "artifacts"
 RESULTS = REPO / "results"
 
 
+def enable_compile_cache(path: Path | None = None) -> None:
+    """Enable JAX's persistent compilation cache (works through the axon
+    PJRT plugin; verified to rehydrate the fused-kernel training programs)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(path or REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def make_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--smoke", action="store_true",
@@ -51,9 +61,15 @@ def configure_backend(args) -> None:
     tunnel (~30-60s) dwarfs the tiny smoke workloads, and the image's
     sitecustomize forces ``jax_platforms="axon,cpu"`` so the env var alone
     cannot switch (see tests/conftest.py).
+
+    Full runs are compile-dominated (the flagship training's 25k-lane
+    screen is ~10 ms of compute behind ~3 min of XLA/Mosaic compiles), so
+    the persistent compilation cache is enabled for every experiment —
+    repeat runs of the same shapes skip straight to execution.
     """
     import jax
 
+    enable_compile_cache()
     if (args.cpu or args.smoke) and not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     if args.smoke:
