@@ -259,9 +259,24 @@ def train_conditional(
         return population_sse(model, p["neural"], p["conditional"],
                               cohort, **loss_kw)
 
+    # fused value+grad: the Pallas affine-adjoint kernel replaces XLA
+    # reverse-mode AD through the RK4 scan on every refinement evaluation
+    # (~2 orders of magnitude less VPU work; ops/pallas_grad.py)
+    fused_vg = None
+    if use_pallas and mesh is None:
+        from conditional_ude_tpu.ops.pallas_grad import fused_population_vg
+
+        fused_vg = fused_population_vg(model.net, cohort,
+                                       substeps=cfg.substeps)
+
+    def tree_vg(pt):
+        f, gnn, gb = fused_vg(pt["neural"], pt["conditional"][:, 0])
+        return f, {"neural": gnn, "conditional": gb[:, None]}
+
     def run_adam_chunk(nn, b, state, iters):
         res = adam_minimize(loss_tree, {"neural": nn, "conditional": b},
-                            iters=iters, lr=cfg.adam_lr, opt_state=state)
+                            iters=iters, lr=cfg.adam_lr, opt_state=state,
+                            fun_and_grad=tree_vg if fused_vg else None)
         return (res.x["neural"], res.x["conditional"], res.opt_state,
                 res.loss_trace)
 
@@ -289,6 +304,10 @@ def train_conditional(
     # history restarts at chunk boundaries) -----------------------------------
     p_nn = nn1.shape[-1]
 
+    def flat_vg(x):
+        f, gnn, gb = fused_vg(x[:p_nn], x[p_nn:])
+        return f, jnp.concatenate([gnn, gb])
+
     def run_lbfgs_chunk(nn, b, iters):
         x0 = jnp.concatenate([nn, b.reshape(-1)])
 
@@ -297,7 +316,8 @@ def train_conditional(
                                   x[p_nn:].reshape(n, cfg.n_conditional),
                                   cohort, **loss_kw)
 
-        res = lbfgs_minimize(flat_loss, x0, max_iters=iters)
+        res = lbfgs_minimize(flat_loss, x0, max_iters=iters,
+                             fun_and_grad=flat_vg if fused_vg else None)
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
                 res.fval)
 

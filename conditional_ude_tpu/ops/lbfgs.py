@@ -44,7 +44,7 @@ def _project(x, lower, upper):
     return x
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 8, 9))
+@partial(jax.jit, static_argnums=(0, 4, 5, 8, 9, 10))
 def lbfgs_minimize(
     fun: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
@@ -56,6 +56,7 @@ def lbfgs_minimize(
     ftol: float = 0.0,
     max_backtracks: int = 30,
     wolfe_patience: int = 6,
+    fun_and_grad: Callable[[jax.Array], tuple] | None = None,
 ) -> LBFGSResult:
     """Minimize ``fun(x)`` starting from ``x0`` (flat vector).
 
@@ -72,13 +73,17 @@ def lbfgs_minimize(
     refinement stage ~20% at bit-identical final objectives (measured at
     two seeds: 51.6→39.2 s cold, 48.3→42.1 s warm, best objective
     unchanged to 4 decimals in both).
+
+    ``fun_and_grad`` overrides AD with a fused (value, grad) evaluator —
+    e.g. the Pallas adjoint kernel (``ops/pallas_grad.py``); every line-
+    search trial point goes through it.
     """
     dtype = x0.dtype
     p = x0.shape[0]
     m = history
 
     x0 = _project(x0, lower, upper)
-    vg = jax.value_and_grad(fun)
+    vg = fun_and_grad if fun_and_grad is not None else jax.value_and_grad(fun)
 
     f0, g0 = vg(x0)
     g0_fin = jnp.isfinite(g0).all()
