@@ -12,20 +12,14 @@ Kernel-enabling structure (vs the generic XLA path in ``ops/rk4.py``):
     blend weight are compile-time/scalar values, eliminating per-lane
     gathers (XLA's ``searchsorted`` per stage);
   * **hoisted baseline MLP** — NN([0, e^β]) is time-invariant and computed
-    once per solve instead of once per RK stage;
-  * **2 MLP evals per substep** — the RHS is affine in the state (the
-    production term depends only on time and parameters), so the two
-    midpoint RK4 stages share one production value and the endpoint value
-    is the next step's start;
+    once per solve instead of once per RK stage (halves MLP work);
   * **per-lane weights as VMEM rows** — the multi-start axis gives every
     lane its own 37-vector of MLP weights; they are read once into
-    registers and reused across all substeps·(T−1) stages.
+    registers and reused across all 4·substeps·(T−1) stages.
 
-Primal-only: used for the gradient-free hot paths — screening,
-likelihood-profile scans, MCMC likelihoods.  The refinement stages use the
-fused value+gradient kernel in ``ops/pallas_grad.py`` (same affine-in-state
-structure, exact discrete adjoint); the pure-JAX RK4 / Tsit5 paths cover
-generic-model gradients and tolerance parity.
+Primal-only (no reverse-mode rule): used for the gradient-free hot paths —
+screening, likelihood-profile scans, MCMC likelihoods.  The pure-JAX RK4 /
+Tsit5 paths cover gradients and tolerance parity.
 
 Reference capability: the screening loop at
 ``src/parameter-estimation.jl:362-366`` (25k × N_individuals serial solves).
@@ -101,16 +95,12 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int):
         B = out_ref.shape[1]
         rows = [nn_hbm[i] for i in range(p)]           # (B,) rows
         layers = _mlp_rows(rows, layer_dims)
-        (w1, bias1), rest = layers[0], layers[1:]
-        fo0 = len(w1)
         eb = eb_ref[0]
         k0, k1, k2, c0 = kin_ref[0], kin_ref[1], kin_ref[2], kin_ref[3]
-        kc = k0 * c0
 
-        # β only enters layer 1; hoist its partial pre-activations (the
-        # baseline NN([0, e^β]) is then just tanh of the hoisted sums)
-        s1 = [w1[o][1] * eb + bias1[o] for o in range(fo0)]
-        base = _mlp_forward(rest, [hidden(v) for v in s1], hidden, softplus)
+        # baseline production input: ΔG = 0 (hoisted out of the time loop)
+        zero = jnp.zeros_like(eb)
+        base = _mlp_forward(layers, [zero, eb], hidden, softplus)
 
         # glucose value at absolute time 0 (the ΔG baseline; reference
         # t0 = 0.0, src/c-peptide-models.jl:69-75)
@@ -121,8 +111,8 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int):
         g_at0 = (1.0 - w0) * g_ref[j] + w0 * g_ref[j + 1]
 
         def production(dg):
-            h1 = [hidden(w1[o][0] * dg + s1[o]) for o in range(fo0)]
-            return _mlp_forward(rest, h1, hidden, softplus) - base
+            out = _mlp_forward(layers, [dg, eb], hidden, softplus)
+            return out - base
 
         u1 = c0
         u2 = (k2 / k1) * c0
@@ -134,37 +124,30 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int):
             t0_s, t1_s = float(tp[seg]), float(tp[seg + 1])
             dt = (t1_s - t0_s) / substeps
             gl, gr = g_ref[seg], g_ref[seg + 1]
-            span, inv_n_sub = gr - gl, 1.0 / substeps
+            inv_span = 1.0 / (t1_s - t0_s)
 
-            # affine-in-state RHS: the midpoint stages share one production
-            # value, the endpoint value is the next step's start — 2 MLP
-            # evals per substep instead of 4
-            def lin1(v1, v2):
-                return -(k0 + k2) * v1 + k1 * v2 + kc
-
-            def lin2(v1, v2):
-                return -k1 * v2 + k2 * v1
+            def rhs(t_scalar, v1, v2):
+                w = (t_scalar - t0_s) * inv_span
+                dg = (1.0 - w) * gl + w * gr - g_at0
+                prod = production(dg)
+                d1 = -(k0 + k2) * v1 + k1 * v2 + k0 * c0 + prod
+                d2 = -k1 * v2 + k2 * v1
+                return d1, d2
 
             def substep(i, carry):
-                v1, v2, p_a = carry
-                fi = i.astype(jnp.float32)
-                p_m = production((fi + 0.5) * inv_n_sub * span + gl - g_at0)
-                p_d = production((fi + 1.0) * inv_n_sub * span + gl - g_at0)
-                a1 = lin1(v1, v2) + p_a
-                a2 = lin2(v1, v2)
-                b1 = lin1(v1 + 0.5 * dt * a1, v2 + 0.5 * dt * a2) + p_m
-                b2 = lin2(v1 + 0.5 * dt * a1, v2 + 0.5 * dt * a2)
-                c1 = lin1(v1 + 0.5 * dt * b1, v2 + 0.5 * dt * b2) + p_m
-                c2 = lin2(v1 + 0.5 * dt * b1, v2 + 0.5 * dt * b2)
-                e1 = lin1(v1 + dt * c1, v2 + dt * c2) + p_d
-                e2 = lin2(v1 + dt * c1, v2 + dt * c2)
+                v1, v2 = carry
+                t = t0_s + i.astype(jnp.float32) * dt
+                a1, a2 = rhs(t, v1, v2)
+                b1, b2 = rhs(t + 0.5 * dt, v1 + 0.5 * dt * a1,
+                             v2 + 0.5 * dt * a2)
+                c1, c2 = rhs(t + 0.5 * dt, v1 + 0.5 * dt * b1,
+                             v2 + 0.5 * dt * b2)
+                e1, e2 = rhs(t + dt, v1 + dt * c1, v2 + dt * c2)
                 v1 = v1 + (dt / 6.0) * (a1 + 2 * b1 + 2 * c1 + e1)
                 v2 = v2 + (dt / 6.0) * (a2 + 2 * b2 + 2 * c2 + e2)
-                return v1, v2, p_d
+                return v1, v2
 
-            p0 = production(gl - g_at0)
-            u1, u2, _ = jax.lax.fori_loop(0, substeps, substep,
-                                          (u1, u2, p0))
+            u1, u2 = jax.lax.fori_loop(0, substeps, substep, (u1, u2))
             sse = sse + (u1 - data_ref[seg + 1]) ** 2
 
         out_ref[0] = jnp.where(jnp.isfinite(sse), sse,
@@ -275,7 +258,6 @@ def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
             k1 = kin_smem[1, nidx]
             k2 = kin_smem[2, nidx]
             c0 = kin_smem[3, nidx]
-            kc = k0 * c0
             eb = jnp.exp(b_ref[nidx])                   # (B,) lane row
             # β only enters layer 1; its partial pre-activations are
             # constant across the whole solve — hoist them (the baseline
@@ -284,9 +266,9 @@ def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
             base = _mlp_forward(rest, [hidden(v) for v in s1],
                                 hidden, softplus)
 
-            def production(dg):
+            def production(dg, eb_, base_):
                 h1 = [hidden(w1[o][0] * dg + s1[o]) for o in range(fo0)]
-                return _mlp_forward(rest, h1, hidden, softplus) - base
+                return _mlp_forward(rest, h1, hidden, softplus) - base_
             g_at0 = (1.0 - w0) * g_smem[j0, nidx] + w0 * g_smem[j0 + 1, nidx]
 
             u1 = c0 * jnp.ones_like(eb)
@@ -297,40 +279,30 @@ def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
                 t0_s, t1_s = float(tp[seg]), float(tp[seg + 1])
                 dt = (t1_s - t0_s) / substeps
                 gl, gr = g_smem[seg, nidx], g_smem[seg + 1, nidx]
-                span, inv_n_sub = gr - gl, 1.0 / substeps
+                inv_span = 1.0 / (t1_s - t0_s)
 
-                # the RHS is affine in the state (production depends only
-                # on time), so the two midpoint stages share ONE production
-                # value and the endpoint value is the next step's start:
-                # 2 MLP evals per substep instead of 4
-                def lin1(v1, v2):
-                    return -(k0 + k2) * v1 + k1 * v2 + kc
-
-                def lin2(v1, v2):
-                    return -k1 * v2 + k2 * v1
+                def rhs(t_scalar, v1, v2):
+                    w = (t_scalar - t0_s) * inv_span
+                    dg = (1.0 - w) * gl + w * gr - g_at0
+                    prod = production(dg, eb, base)
+                    d1 = -(k0 + k2) * v1 + k1 * v2 + k0 * c0 + prod
+                    d2 = -k1 * v2 + k2 * v1
+                    return d1, d2
 
                 def substep(i, carry):
-                    v1, v2, p_a = carry
-                    fi = i.astype(jnp.float32)
-                    p_m = production((fi + 0.5) * inv_n_sub * span
-                                     + gl - g_at0)
-                    p_d = production((fi + 1.0) * inv_n_sub * span
-                                     + gl - g_at0)
-                    a1 = lin1(v1, v2) + p_a
-                    a2 = lin2(v1, v2)
-                    b1 = lin1(v1 + 0.5 * dt * a1, v2 + 0.5 * dt * a2) + p_m
-                    b2 = lin2(v1 + 0.5 * dt * a1, v2 + 0.5 * dt * a2)
-                    c1 = lin1(v1 + 0.5 * dt * b1, v2 + 0.5 * dt * b2) + p_m
-                    c2 = lin2(v1 + 0.5 * dt * b1, v2 + 0.5 * dt * b2)
-                    e1 = lin1(v1 + dt * c1, v2 + dt * c2) + p_d
-                    e2 = lin2(v1 + dt * c1, v2 + dt * c2)
+                    v1, v2 = carry
+                    t = t0_s + i.astype(jnp.float32) * dt
+                    a1, a2 = rhs(t, v1, v2)
+                    b1, b2 = rhs(t + 0.5 * dt, v1 + 0.5 * dt * a1,
+                                 v2 + 0.5 * dt * a2)
+                    c1, c2 = rhs(t + 0.5 * dt, v1 + 0.5 * dt * b1,
+                                 v2 + 0.5 * dt * b2)
+                    e1, e2 = rhs(t + dt, v1 + dt * c1, v2 + dt * c2)
                     v1 = v1 + (dt / 6.0) * (a1 + 2 * b1 + 2 * c1 + e1)
                     v2 = v2 + (dt / 6.0) * (a2 + 2 * b2 + 2 * c2 + e2)
-                    return v1, v2, p_d
+                    return v1, v2
 
-                p0 = production(gl - g_at0)
-                u1, u2, _ = jax.lax.fori_loop(0, substeps, substep,
-                                              (u1, u2, p0))
+                u1, u2 = jax.lax.fori_loop(0, substeps, substep, (u1, u2))
                 sse = sse + (u1 - d_smem[seg + 1, nidx]) ** 2
 
             return acc + sse
