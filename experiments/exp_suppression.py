@@ -28,6 +28,9 @@ def main():
                    help="subset of regularization levels (one process per "
                         "λ sidesteps a cumulative axon-worker fault)")
     p.add_argument("--no-test-stage", action="store_true")
+    p.add_argument("--test-only", action="store_true",
+                   help="skip the λ sweep; revalidate the cached test-λ "
+                        "artifact and run only the 60-subject test stage")
     p.add_argument("--fine", action="store_true",
                    help="the reference's init_run fine λ grid: "
                         "{0, 0.01} ∪ 10^[-1.8:0.2:-0.6] ∪ {1, 10, 100} "
@@ -83,6 +86,13 @@ def main():
         rng.uniform(size=(n_valid_inits, data_valid.shape[0])), jnp.float32)
 
     rows, summary = [], {}
+    if args.test_only:
+        lambdas = []
+        try:
+            summary = __import__("json").loads(
+                (args.results / "exp_suppression_metrics.json").read_text())
+        except FileNotFoundError:
+            pass
     for lam in lambdas:
         with Timer():
             fit = fit_suppression(net, data_train, tp,
@@ -141,13 +151,27 @@ def main():
     from conditional_ude_tpu.utils.checkpoint import load_checkpoint
 
     test_lambda = 0.1 if args.smoke else 0.01
-    if test_lambda not in lambdas:
+    if lambdas and test_lambda not in lambdas:
         test_lambda = lambdas[-1]
     ck, _ = load_checkpoint(
         args.artifacts / f"suppression_lambda={test_lambda}.npz")
     lam_rows = [r for r in rows if r["lambda"] == test_lambda]
+    if not lam_rows:
+        # --test-only: reconstruct the selection quantities by revalidating
+        # the cached restart population (deterministic given the artifact)
+        theta_v, obj_v = validate_suppression(
+            net, jnp.asarray(ck["nn_params"]), data_valid, tp,
+            theta_inits_valid, lbfgs_iters=cfg.lbfgs_iters)
+        lam_rows = [{"loss_valid": float(obj_v[r]),
+                     "correlation_valid": spearman(gt_valid, theta_v[r])}
+                    for r in range(len(obj_v))]
+    # the reference selects the restart with the best VALIDATION LOSS
+    # (suppression/figures.jl:27-41); that criterion can pick a restart
+    # whose θ-ordering is worse than its fit (loss and Spearman ρ are not
+    # monotonically related), so the best-validation-ρ restart is reported
+    # alongside as a robustness line
     best_r = int(np.argmin([r["loss_valid"] for r in lam_rows]))
-    nn_best = jnp.asarray(ck["nn_params"][best_r])
+    best_r_rho = int(np.argmax([r["correlation_valid"] for r in lam_rows]))
 
     n_test = 12 if args.smoke else 60
     per_group = max(1, n_test // len(group_means))
@@ -156,19 +180,30 @@ def main():
                                        noise_multiplicative=args.noise,
                                        rng=rng)
     theta_grid = jnp.asarray(rng.uniform(size=64), jnp.float32)
-    xs, _ = validate_suppression_sigma_batch(
-        net, nn_best, jnp.asarray(data_test), jnp.asarray(tp, jnp.float32),
-        theta_grid, cfg.lbfgs_iters)
-    thetas_test = np.asarray(xs[:, 0])
-    rho_test = spearman(gt_test, thetas_test)
-    print(f"test-stage θ-recovery (λ={test_lambda}): ρ={rho_test:.3f}",
-          file=sys.stderr)
+
+    def test_rho(restart):
+        xs, _ = validate_suppression_sigma_batch(
+            net, jnp.asarray(ck["nn_params"][restart]),
+            jnp.asarray(data_test), jnp.asarray(tp, jnp.float32),
+            theta_grid, cfg.lbfgs_iters)
+        return spearman(gt_test, np.asarray(xs[:, 0]))
+
+    rho_test = test_rho(best_r)
+    rho_test_by_rho = (rho_test if best_r_rho == best_r
+                       else test_rho(best_r_rho))
+    print(f"test-stage θ-recovery (λ={test_lambda}): by-loss restart "
+          f"{best_r} ρ={rho_test:.3f}; by-valid-ρ restart {best_r_rho} "
+          f"ρ={rho_test_by_rho:.3f}", file=sys.stderr)
     summary["test_stage"] = {
         "lambda": test_lambda, "n_test": int(len(gt_test)),
         "spearman": rho_test,
+        "selected_restart": best_r,
+        "spearman_best_valid_rho_restart": rho_test_by_rho,
+        "best_valid_rho_restart": best_r_rho,
     }
 
-    write_csv(args.results / "suppression_sweep.csv", rows)
+    if rows:
+        write_csv(args.results / "suppression_sweep.csv", rows)
     write_metrics(args.results / "exp_suppression_metrics.json", summary)
 
 
