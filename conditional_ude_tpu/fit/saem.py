@@ -64,6 +64,17 @@ class SAEMConfig:
     pop_update_iters: int = 5
     pop_adam_lr: float = 1e-2
     update_prior_mean: bool = True          # cUDE yes (:205), symbolic no
+    omega_as_variance: bool = False         # False = reference parity: blend
+                                            # var(rand) into Ω but use Ω as a
+                                            # *standard deviation* in the
+                                            # prior (src/saem.jl:70,91 vs
+                                            # :204 — a units mismatch that
+                                            # makes Ω collapse or blow up
+                                            # depending on the draw).  True =
+                                            # dimensionally consistent SA
+                                            # update Ω² ← (1-lr)·Ω² +
+                                            # lr·var(rand), which settles Ω
+                                            # at the population std.
     log_every: int = 0                      # >0: live NLL/acceptance prints
                                             # (the reference's ProgressMeter
                                             # display, src/saem.jl:219-224)
@@ -210,7 +221,11 @@ def run_saem(
 
         # -- Ω / η stochastic updates (:204-205) -----------------------------
         var_r = jnp.var(rand, ddof=1)
-        omega = (1 - cfg.omega_lr) * s.omega + cfg.omega_lr * var_r
+        if cfg.omega_as_variance:
+            omega = jnp.sqrt((1 - cfg.omega_lr) * s.omega**2
+                             + cfg.omega_lr * var_r)
+        else:
+            omega = (1 - cfg.omega_lr) * s.omega + cfg.omega_lr * var_r
         eta = ((1 - cfg.omega_lr) * s.eta + cfg.omega_lr * jnp.mean(rand)
                if cfg.update_prior_mean else s.eta)
 

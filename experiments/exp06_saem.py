@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 from pathlib import Path
 
@@ -135,7 +136,7 @@ def main():
         "beta_chains": np.asarray(chains[:, n_mh // 2::thin]),
     }, metadata={"script": "exp06"})
 
-    write_metrics(args.results / "exp06_metrics.json", {
+    metrics = {
         "final_nll": float(res.nll_trace[-1]),
         "final_acceptance": float(res.acceptance_trace[-1]),
         "sigma": float(res.sigma),
@@ -145,7 +146,48 @@ def main():
         "posterior_acceptance_mean": float(np.mean(np.asarray(acc))),
         "map_mle_correlation": float(np.corrcoef(maps, mles)[0, 1]),
         "posterior_map_correlation": float(np.corrcoef(post_mean, maps)[0, 1]),
-    })
+    }
+
+    # -- 4. dimensionally consistent Ω update (beyond parity) -----------------
+    # The reference blends var(rand) into Ω but uses Ω as a *standard
+    # deviation* in the prior (src/saem.jl:70,91 vs :204); that mismatch
+    # makes Ω collapse (→0.01-0.05) or blow up (→10+) depending on the
+    # draw, and either regime degrades one of the MAP/MLE/posterior
+    # agreement diagnostics.  ``omega_as_variance=True`` runs the same SAEM
+    # with Ω² ← (1-lr)·Ω² + lr·var(rand), which settles Ω at the population
+    # std; report the same diagnostics side by side.
+    with Timer():
+        res_c = saem_cude(
+            model, cohort_train, nn0, jax.random.key(1),
+            dataclasses.replace(cfg_saem, omega_as_variance=True))
+    chains_c, acc_c = posterior_chains(
+        ll, res_c.theta, res_c.sigma, cohort_all.individuals,
+        cohort_all.cpeptide, jax.random.key(2),
+        jnp.full((cohort_all.n,), float(res_c.eta)),
+        eta=res_c.eta, omega=res_c.omega, n_steps=n_mh)
+    post_mean_c = np.asarray(chains_c[:, n_mh // 2:]).mean(axis=1)
+    maps_c = np.asarray(individual_maps(
+        ll, res_c.theta, res_c.sigma, cohort_all.individuals,
+        cohort_all.cpeptide, jnp.full((cohort_all.n,), float(res_c.eta)),
+        eta=res_c.eta, omega=res_c.omega, max_iters=map_iters))
+    mles_c = np.asarray(individual_mles(
+        ll, res_c.theta, res_c.sigma, cohort_all.individuals,
+        cohort_all.cpeptide, jnp.full((cohort_all.n,), float(res_c.eta)),
+        max_iters=map_iters))
+    metrics["consistent_omega"] = {
+        "final_nll": float(res_c.nll_trace[-1]),
+        "sigma": float(res_c.sigma),
+        "omega": float(res_c.omega),
+        "eta": float(res_c.eta),
+        "mse_map_per_type": per_type_mse(
+            types, cohort_mse(model, res_c.theta, maps_c, cohort_all)),
+        "posterior_acceptance_mean": float(np.mean(np.asarray(acc_c))),
+        "map_mle_correlation": float(np.corrcoef(maps_c, mles_c)[0, 1]),
+        "posterior_map_correlation": float(
+            np.corrcoef(post_mean_c, maps_c)[0, 1]),
+    }
+
+    write_metrics(args.results / "exp06_metrics.json", metrics)
 
 
 if __name__ == "__main__":

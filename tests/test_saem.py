@@ -148,3 +148,19 @@ def test_saem_symbolic_smoke(rng):
     assert res.random_effects.shape == (n,)
     assert np.isfinite(float(res.theta))
     assert float(res.theta) > 0
+
+
+def test_consistent_omega_settles_at_population_std(rng):
+    # reference-parity mode blends var(rand) into an Ω used as a *std*
+    # (src/saem.jl:70,91 vs :204), which is bistable (collapse or blow-up);
+    # omega_as_variance=True updates Ω² ← (1-lr)·Ω² + lr·var(rand) so Ω
+    # converges to the true random-effect std on the linear-Gaussian model
+    loglik, inds, data, r_true = _linear_gaussian_setup(rng, omega_true=0.6)
+    cfg = SAEMConfig(iterations=120, burnin=40, n_mcmc_steps=5,
+                     pop_update_iters=5, pop_adam_lr=5e-2,
+                     omega_as_variance=True)
+    res = run_saem(loglik, jnp.asarray(0.0), inds, data,
+                   jax.random.key(0), cfg)
+    assert 0.3 < float(res.omega) < 1.0, float(res.omega)
+    fitted = np.asarray(res.random_effects) + float(res.eta)
+    assert np.corrcoef(fitted, r_true)[0, 1] > 0.8
