@@ -33,7 +33,11 @@ def enable_compile_cache(path: Path | None = None) -> None:
 
     jax.config.update("jax_compilation_cache_dir",
                       str(path or REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING: through the axon tunnel even trivial one-op
+    # programs (jit_add, jit_slice, threefry…) take ~0.4 s each to
+    # compile, and a full experiment dispatches ~100 of them — a 0.5 s
+    # write threshold meant every process re-paid ~40 s of tiny compiles
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:
