@@ -54,3 +54,27 @@ def test_exp02_smoke_covers_ude_branch_and_is_reproducible(tmp_path):
 
     m2 = _run_exp02_smoke(tmp_path, "b")
     assert m1 == m2, "exp02 smoke metrics differ across identical retrains"
+
+
+def test_exp_suppression_test_only_reproduces_test_stage(tmp_path):
+    """--test-only must rebuild the test stage from the cached artifact and
+    reproduce the sweep run's test-stage metrics exactly (the selection
+    quantities are re-derived by revalidating the restart population)."""
+    art, res = tmp_path / "artifacts", tmp_path / "results"
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "experiments" / "exp_suppression.py"),
+             "--smoke", "--artifacts", str(art), "--results", str(res),
+             *extra],
+            cwd=REPO, capture_output=True, text=True, timeout=900)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(
+            (res / "smoke" / "exp_suppression_metrics.json").read_text())
+
+    m_sweep = run()
+    assert "test_stage" in m_sweep
+    m_only = run("--test-only")
+    assert m_only["test_stage"] == m_sweep["test_stage"]
+    # the sweep sections must survive the test-only rewrite untouched
+    assert m_only == m_sweep
