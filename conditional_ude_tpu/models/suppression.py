@@ -262,6 +262,128 @@ def fit_suppression(
                           objectives=objs[order], loss_traces=traces[order])
 
 
+def fit_suppression_sweep(
+    net: MLP,
+    data: jax.Array,
+    timepoints: jax.Array,
+    key: jax.Array,
+    lambdas,
+    config: SuppressionFitConfig = SuppressionFitConfig(),
+) -> SuppressionFit:
+    """The whole λ-sweep as ONE batched program (TPU-first replacement for
+    the reference's one-process-per-λ driver, ``suppression/suppression.jl:39``).
+
+    Two structural facts make the sweep collapse:
+
+    * the loss is ``err(nn, θ) + λ‖nn‖²``, so the 10k-init screening pass
+      is λ-independent up to a rank-1 correction — ONE screen of
+      ``(err_i, ‖nn_i‖²)`` serves every λ's top-k selection;
+    * refinement is already a ``vmap`` over restart lanes, and λ is just a
+      per-lane scalar — the (λ × restart) grid flattens into a single lane
+      axis of one compiled optimizer.
+
+    With the driver's convention of reusing the same PRNG key per λ
+    (shared initial space), each λ's result is numerically the same
+    computation the serial per-λ path performs.  Returns a
+    ``SuppressionFit`` with a leading λ axis on every field
+    (``nn_params[L, R, P]`` …), each λ's restarts sorted best-first.
+    """
+    cfg = config
+    lambdas = jnp.asarray(lambdas, jnp.float32)          # [L]
+    n_lam = lambdas.shape[0]
+    n = data.shape[0]
+    data = jnp.asarray(data, jnp.float32)
+    tp = jnp.asarray(timepoints, jnp.float32)
+
+    k_nn, k_th = jax.random.split(key)
+    nn_inits = net.init_batch(k_nn, cfg.initial_space)
+    theta_inits = jax.random.normal(k_th, (cfg.initial_space, n))
+
+    def err_pen(nn, th):
+        e = suppression_loss(net, nn, th, data, tp, 0.0,
+                             max_steps=cfg.max_steps)
+        return e, jnp.sum(nn**2)
+
+    screen = jax.jit(jax.vmap(err_pen))
+    errs, pens = [], []
+    for i in range(0, cfg.initial_space, cfg.screen_chunk):
+        e, p = screen(nn_inits[i:i + cfg.screen_chunk],
+                      theta_inits[i:i + cfg.screen_chunk])
+        errs.append(e)
+        pens.append(p)
+    errs, pens = jnp.concatenate(errs), jnp.concatenate(pens)
+
+    # per-λ top-k on err + λ·pen (the screen ran once)
+    losses = errs[None, :] + lambdas[:, None] * pens[None, :]   # [L, G]
+    losses = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    top = jnp.argsort(losses, axis=1)[:, : cfg.select_best_n]   # [L, R]
+
+    flat = top.reshape(-1)                                      # [L*R]
+    nn_c, th_c = nn_inits[flat], theta_inits[flat]
+    lam_lane = jnp.repeat(lambdas, cfg.select_best_n)           # [L*R]
+    lanes = flat.shape[0]
+    p_nn = nn_inits.shape[-1]
+
+    def loss(nn, th, lam):
+        return suppression_loss(net, nn, th, data, tp, lam,
+                                max_steps=cfg.max_steps)
+
+    # keep per-dispatch work at the single-λ level the axon worker
+    # tolerates: scale the iteration chunk down by the lane blow-up
+    chunk = max(1, cfg.dispatch_chunk * cfg.select_best_n // lanes)
+
+    def adam_chunk(nn, th, lam, state, iters):
+        res = adam_minimize(lambda p: loss(p["nn"], p["th"], lam),
+                            {"nn": nn, "th": th},
+                            iters=iters, lr=cfg.adam_lr, opt_state=state)
+        return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
+
+    run_adam = jax.jit(jax.vmap(adam_chunk, in_axes=(0, 0, 0, 0, None)),
+                       static_argnums=4)
+    state = jax.vmap(
+        lambda nn, th: optax.adam(cfg.adam_lr).init({"nn": nn, "th": th})
+    )(nn_c, th_c)
+    traces = [jnp.zeros((lanes, 0), jnp.float32)]
+    done = 0
+    while done < cfg.adam_iters:
+        step = min(chunk, cfg.adam_iters - done)
+        nn_c, th_c, state, tr = run_adam(nn_c, th_c, lam_lane, state, step)
+        jax.block_until_ready(th_c)
+        traces.append(tr)
+        done += step
+    traces = jnp.concatenate(traces, axis=1)
+
+    def lbfgs_chunk(nn, th, lam, iters):
+        x0 = jnp.concatenate([nn, th])
+        res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:], lam), x0,
+                             max_iters=iters)
+        return res.x[:p_nn], res.x[p_nn:], res.fval
+
+    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk, in_axes=(0, 0, 0, None)),
+                        static_argnums=3)
+    objs = None
+    done = 0
+    while done < cfg.lbfgs_iters:
+        step = min(chunk, cfg.lbfgs_iters - done)
+        nn_c, th_c, objs = run_lbfgs(nn_c, th_c, lam_lane, step)
+        jax.block_until_ready(objs)
+        done += step
+    if objs is None:
+        objs = jax.jit(jax.vmap(loss))(nn_c, th_c, lam_lane)
+
+    def unflat(a):
+        return a.reshape(n_lam, cfg.select_best_n, *a.shape[1:])
+
+    objs_l = unflat(objs)
+    order = jnp.argsort(
+        jnp.where(jnp.isfinite(objs_l), objs_l, jnp.inf), axis=1)
+    take = jax.vmap(lambda a, o: a[o])
+    return SuppressionFit(nn_params=take(unflat(nn_c), order),
+                          thetas=take(unflat(th_c), order),
+                          objectives=take(objs_l, order),
+                          loss_traces=take(unflat(traces), order))
+
+
 from functools import partial
 
 

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--test-only", action="store_true",
                    help="skip the λ sweep; revalidate the cached test-λ "
                         "artifact and run only the 60-subject test stage")
+    p.add_argument("--joint", action="store_true",
+                   help="run the whole λ sweep as one batched program "
+                        "(λ × restart lanes; shared screening pass)")
     p.add_argument("--fine", action="store_true",
                    help="the reference's init_run fine λ grid: "
                         "{0, 0.01} ∪ 10^[-1.8:0.2:-0.6] ∪ {1, 10, 100} "
@@ -93,11 +96,32 @@ def main():
                 (args.results / "exp_suppression_metrics.json").read_text())
         except FileNotFoundError:
             pass
-    for lam in lambdas:
+    joint_fits = None
+    if args.joint and lambdas:
+        # the whole λ-sweep as ONE batched program (the λ axis is a batch
+        # axis; screening runs once and factors λ analytically)
+        from conditional_ude_tpu.models.suppression import (
+            SuppressionFit,
+            fit_suppression_sweep,
+        )
+
         with Timer():
-            fit = fit_suppression(net, data_train, tp,
-                                  jax.random.key(args.seed), lam=lam,
-                                  config=cfg)
+            sweep = fit_suppression_sweep(net, data_train, tp,
+                                          jax.random.key(args.seed),
+                                          lambdas, config=cfg)
+        joint_fits = {
+            lam: SuppressionFit(*(jnp.asarray(a[i]) for a in sweep))
+            for i, lam in enumerate(lambdas)
+        }
+
+    for lam in lambdas:
+        if joint_fits is not None:
+            fit = joint_fits[lam]
+        else:
+            with Timer():
+                fit = fit_suppression(net, data_train, tp,
+                                      jax.random.key(args.seed), lam=lam,
+                                      config=cfg)
 
         # validate the whole restart population at once (batched over the
         # leading axis; the reference loops restarts serially)

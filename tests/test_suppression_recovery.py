@@ -45,3 +45,34 @@ def test_theta_recovery_end_to_end():
                                         tp, theta_inits, 60)
     assert np.isfinite(float(obj))
     assert abs(spearman(gt_v, theta_v)) > 0.5
+
+
+def test_joint_sweep_matches_per_lambda_fits():
+    """fit_suppression_sweep (one batched program over the λ×restart grid)
+    must reproduce what per-λ fit_suppression runs compute with the same
+    shared key — the λ axis is a batch axis, not a loop."""
+    from conditional_ude_tpu.models.suppression import fit_suppression_sweep
+
+    rng = np.random.default_rng(3)
+    tp = np.linspace(0.0, 30.0, 8)
+    data, _ = generate_data([0.5, 5.0, 12.5], [2] * 3, tp,
+                            noise_multiplicative=0.05, rng=rng)
+
+    net = suppression_net(depth=5, width=3)
+    cfg = SuppressionFitConfig(initial_space=48, select_best_n=2,
+                               adam_iters=40, lbfgs_iters=40,
+                               screen_chunk=48)
+    lambdas = [0.0, 0.01, 0.1]
+    key = jax.random.key(11)
+
+    sweep = fit_suppression_sweep(net, data, tp, key, lambdas, cfg)
+    assert sweep.nn_params.shape[:2] == (3, 2)
+
+    for li, lam in enumerate(lambdas):
+        single = fit_suppression(net, data, tp, key, lam=lam, config=cfg)
+        np.testing.assert_allclose(np.asarray(sweep.objectives[li]),
+                                   np.asarray(single.objectives),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sweep.thetas[li]),
+                                   np.asarray(single.thetas),
+                                   rtol=5e-2, atol=5e-2)
