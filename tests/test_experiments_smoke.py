@@ -78,3 +78,31 @@ def test_exp_suppression_test_only_reproduces_test_stage(tmp_path):
     assert m_only["test_stage"] == m_sweep["test_stage"]
     # the sweep sections must survive the test-only rewrite untouched
     assert m_only == m_sweep
+
+
+def test_exp_suppression_joint_sweep_driver(tmp_path):
+    """--joint (one batched program over the λ×restart grid) must produce
+    per-λ summaries equivalent to the serial per-λ driver path.  Library-
+    level numerical parity is asserted tightly in
+    test_suppression_recovery.py; this covers the CLI wiring, so the
+    tolerance only needs to catch λ-axis mixups (which flip correlations
+    far beyond it)."""
+    art, res = tmp_path / "artifacts", tmp_path / "results"
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "experiments" / "exp_suppression.py"),
+             "--smoke", "--no-test-stage", "--artifacts", str(art),
+             "--results", str(res), *extra],
+            cwd=REPO, capture_output=True, text=True, timeout=900)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(
+            (res / "smoke" / "exp_suppression_metrics.json").read_text())
+
+    m_serial = run()
+    m_joint = run("--joint")
+    assert set(m_joint) == set(m_serial)
+    for lam, s in m_serial.items():
+        j = m_joint[lam]
+        for k in ("best_correlation_train", "best_correlation_valid"):
+            assert abs(j[k] - s[k]) < 0.25, (lam, k, j[k], s[k])
