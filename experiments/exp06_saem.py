@@ -40,6 +40,7 @@ def main():
     from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
     from conditional_ude_tpu.nn import chain
     from conditional_ude_tpu.utils.checkpoint import cached
+    from conditional_ude_tpu.utils.stats import spearman
 
     train, test, cohort_train, cohort_test = load_cohorts(
         args.data_dir, args.smoke)
@@ -146,6 +147,11 @@ def main():
         "posterior_acceptance_mean": float(np.mean(np.asarray(acc))),
         "map_mle_correlation": float(np.corrcoef(maps, mles)[0, 1]),
         "posterior_map_correlation": float(np.corrcoef(post_mean, maps)[0, 1]),
+        # Pearson is dragged down by the handful of practically
+        # unidentifiable subjects (flat likelihood ⇒ the posterior mean
+        # wanders under a weak prior while the MAP sits wherever L-BFGS
+        # stops); rank agreement is robust to those, so report both
+        "posterior_map_spearman": spearman(post_mean, maps),
     }
 
     # -- 4. dimensionally consistent Ω update (beyond parity) -----------------
@@ -185,6 +191,7 @@ def main():
         "map_mle_correlation": float(np.corrcoef(maps_c, mles_c)[0, 1]),
         "posterior_map_correlation": float(
             np.corrcoef(post_mean_c, maps_c)[0, 1]),
+        "posterior_map_spearman": spearman(post_mean_c, maps_c),
     }
 
     write_metrics(args.results / "exp06_metrics.json", metrics)
