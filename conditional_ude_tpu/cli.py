@@ -109,8 +109,13 @@ def _run_script(path: Path, argv: list[str]) -> int:
     sys.argv = [str(path), *argv]
     try:
         runpy.run_path(str(path), run_name="__main__")
-    except SystemExit as e:  # argparse --help etc.
-        return int(e.code or 0)
+    except SystemExit as e:  # argparse --help, sys.exit("message"), …
+        if e.code is None:
+            return 0
+        if isinstance(e.code, int):
+            return e.code
+        print(e.code, file=sys.stderr)
+        return 1
     finally:
         sys.argv = old_argv
     return 0

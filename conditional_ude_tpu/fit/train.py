@@ -70,10 +70,14 @@ class TrainConfig:
     # fused Pallas kernel for the screening pass (~4.5x over the XLA RK4
     # path on TPU); None = auto-enable on TPU for the plain conditional model
     use_pallas: bool | None = None
-    # refinement runs as bounded-runtime dispatches (Adam state threaded,
-    # L-BFGS history restarts): long single XLA programs through the axon
-    # tunnel can get the worker killed
+    # refinement runs as bounded-runtime dispatches (both the Adam state
+    # and the L-BFGS curvature history thread through the chunks, so
+    # chunking never changes the result): long single XLA programs through
+    # the axon tunnel can get the worker killed
     dispatch_chunk: int = 500
+    # stage wall-clock timers on stderr (experiment drivers turn this on;
+    # library callers and tests stay quiet by default)
+    log_timings: bool = False
 
 
 class TrainResult(NamedTuple):
@@ -301,14 +305,15 @@ def train_conditional(
     _t2 = time.perf_counter()
 
     # -- L-BFGS stage (flat joint vector per restart, chunked dispatches;
-    # history restarts at chunk boundaries) -----------------------------------
+    # the curvature history threads through the chunks, so the dispatch
+    # size never changes the optimization trajectory) -------------------------
     p_nn = nn1.shape[-1]
 
     def flat_vg(x):
         f, gnn, gb = fused_vg(x[:p_nn], x[p_nn:])
         return f, jnp.concatenate([gnn, gb])
 
-    def run_lbfgs_chunk(nn, b, iters):
+    def run_lbfgs_chunk(nn, b, state, iters):
         x0 = jnp.concatenate([nn, b.reshape(-1)])
 
         def flat_loss(x):
@@ -317,17 +322,18 @@ def train_conditional(
                                   cohort, **loss_kw)
 
         res = lbfgs_minimize(flat_loss, x0, max_iters=iters,
-                             fun_and_grad=flat_vg if fused_vg else None)
+                             fun_and_grad=flat_vg if fused_vg else None,
+                             init_state=state)
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
-                res.fval)
+                res.fval, res.state)
 
-    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk, in_axes=(0, 0, None)),
-                         static_argnums=2)
-    nn2, b2, objs = nn1, b1, None
+    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk, in_axes=(0, 0, 0, None)),
+                         static_argnums=3)
+    nn2, b2, objs, lb_state = nn1, b1, None, None
     done_iters = 0
     while done_iters < cfg.lbfgs_iters:
         step = min(max(1, cfg.dispatch_chunk), cfg.lbfgs_iters - done_iters)
-        nn2, b2, objs = lbfgs_step(nn2, b2, step)
+        nn2, b2, objs, lb_state = lbfgs_step(nn2, b2, lb_state, step)
         jax.block_until_ready(objs)
         done_iters += step
 
@@ -359,9 +365,10 @@ def train_conditional(
 
     jax.block_until_ready(objs)
     _t4 = time.perf_counter()
-    print(f"[train_conditional] screen={_t1 - _t0:.1f}s "
-          f"adam={_t2 - _t1:.1f}s lbfgs={_t3 - _t2:.1f}s "
-          f"final_eval={_t4 - _t3:.1f}s", file=sys.stderr)
+    if cfg.log_timings:
+        print(f"[train_conditional] screen={_t1 - _t0:.1f}s "
+              f"adam={_t2 - _t1:.1f}s lbfgs={_t3 - _t2:.1f}s "
+              f"final_eval={_t4 - _t3:.1f}s", file=sys.stderr)
 
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return TrainResult(nn_params=nn2[order], betas=b2[order],

@@ -167,8 +167,8 @@ class SuppressionFitConfig:
     screen_chunk: int = 512
     # long single XLA programs through the axon tunnel can get the worker
     # killed; the refinement runs as a sequence of bounded-runtime
-    # dispatches (Adam state threads through, L-BFGS restarts its history
-    # each chunk — a standard safe practice)
+    # dispatches (both Adam state and the L-BFGS curvature history thread
+    # through the chunks, so chunking never changes the result)
     dispatch_chunk: int = 250
 
 
@@ -187,79 +187,16 @@ def fit_suppression(
     lam: float = 0.0,
     config: SuppressionFitConfig = SuppressionFitConfig(),
 ) -> SuppressionFit:
-    """Joint (NN, θ) multi-start fit (reference ``fit_suppression_model``)."""
-    cfg = config
-    n = data.shape[0]
-    data = jnp.asarray(data, jnp.float32)
-    tp = jnp.asarray(timepoints, jnp.float32)
+    """Joint (NN, θ) multi-start fit (reference ``fit_suppression_model``).
 
-    k_nn, k_th = jax.random.split(key)
-    nn_inits = net.init_batch(k_nn, cfg.initial_space)
-    theta_inits = jax.random.normal(k_th, (cfg.initial_space, n))
-
-    def loss(nn, th):
-        return suppression_loss(net, nn, th, data, tp, lam,
-                                max_steps=cfg.max_steps)
-
-    # screening in chunks
-    losses = []
-    screen = jax.jit(jax.vmap(loss))
-    for i in range(0, cfg.initial_space, cfg.screen_chunk):
-        losses.append(screen(nn_inits[i:i + cfg.screen_chunk],
-                             theta_inits[i:i + cfg.screen_chunk]))
-    losses = jnp.concatenate(losses)
-    top = jnp.argsort(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
-    top = top[: cfg.select_best_n]
-
-    p_nn = nn_inits.shape[-1]
-
-    # -- Adam stage: bounded-runtime dispatches, optimizer state threaded;
-    # each stage's chunks are clamped to its OWN budget (exact totals) -----
-    def adam_chunk(nn, th, state, iters):
-        res = adam_minimize(lambda p: loss(p["nn"], p["th"]),
-                            {"nn": nn, "th": th},
-                            iters=iters, lr=cfg.adam_lr, opt_state=state)
-        return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
-
-    nn_c, th_c = nn_inits[top], theta_inits[top]
-    run_adam = jax.jit(jax.vmap(adam_chunk, in_axes=(0, 0, 0, None)),
-                       static_argnums=3)
-    state = jax.vmap(
-        lambda nn, th: optax.adam(cfg.adam_lr).init({"nn": nn, "th": th})
-    )(nn_c, th_c)
-    traces = [jnp.zeros((cfg.select_best_n, 0), jnp.float32)]
-    done = 0
-    while done < cfg.adam_iters:
-        step = min(max(1, cfg.dispatch_chunk), cfg.adam_iters - done)
-        nn_c, th_c, state, tr = run_adam(nn_c, th_c, state, step)
-        jax.block_until_ready(th_c)
-        traces.append(tr)
-        done += step
-    traces = jnp.concatenate(traces, axis=1)
-
-    # -- L-BFGS stage: chunked with history restarts ------------------------
-    def lbfgs_chunk(nn, th, iters):
-        x0 = jnp.concatenate([nn, th])
-        res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:]), x0,
-                             max_iters=iters)
-        return res.x[:p_nn], res.x[p_nn:], res.fval
-
-    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk, in_axes=(0, 0, None)),
-                        static_argnums=2)
-    objs = None
-    done = 0
-    while done < cfg.lbfgs_iters:
-        step = min(max(1, cfg.dispatch_chunk), cfg.lbfgs_iters - done)
-        nn_c, th_c, objs = run_lbfgs(nn_c, th_c, step)
-        jax.block_until_ready(objs)
-        done += step
-
-    if objs is None:
-        objs = jax.jit(jax.vmap(loss))(nn_c, th_c)
-
-    order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
-    return SuppressionFit(nn_params=nn_c[order], thetas=th_c[order],
-                          objectives=objs[order], loss_traces=traces[order])
+    Thin wrapper over the batched λ-sweep with a single λ — the sweep with
+    one lane runs exactly the screen → top-k → Adam → L-BFGS pipeline the
+    reference performs per λ (``tests/test_suppression_recovery.py``
+    asserts the equivalence), so there is only ONE refinement pipeline to
+    maintain."""
+    res = fit_suppression_sweep(net, data, timepoints, key,
+                                jnp.asarray([lam], jnp.float32), config)
+    return SuppressionFit(*(a[0] for a in res))
 
 
 def fit_suppression_sweep(
@@ -284,7 +221,10 @@ def fit_suppression_sweep(
 
     With the driver's convention of reusing the same PRNG key per λ
     (shared initial space), each λ's result is numerically the same
-    computation the serial per-λ path performs.  Returns a
+    computation a single-λ run performs: the screen decomposition is
+    exact, λ rides as a per-lane scalar, and the L-BFGS history threads
+    through the dispatch chunks so the lane count never alters the
+    per-λ trajectory.  Returns a
     ``SuppressionFit`` with a leading λ axis on every field
     (``nn_params[L, R, P]`` …), each λ's restarts sorted best-first.
     """
@@ -353,19 +293,25 @@ def fit_suppression_sweep(
         done += step
     traces = jnp.concatenate(traces, axis=1)
 
-    def lbfgs_chunk(nn, th, lam, iters):
+    # the curvature history threads through the chunks (``init_state``),
+    # so the dispatch-chunk size — scaled down here to keep per-dispatch
+    # runtime at the level the axon worker tolerates — never changes the
+    # optimization trajectory
+    def lbfgs_chunk(nn, th, lam, state, iters):
         x0 = jnp.concatenate([nn, th])
         res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:], lam), x0,
-                             max_iters=iters)
-        return res.x[:p_nn], res.x[p_nn:], res.fval
+                             max_iters=iters, init_state=state)
+        return res.x[:p_nn], res.x[p_nn:], res.fval, res.state
 
-    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk, in_axes=(0, 0, 0, None)),
-                        static_argnums=3)
+    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk, in_axes=(0, 0, 0, 0, None)),
+                        static_argnums=4)
     objs = None
+    lb_state = None
     done = 0
     while done < cfg.lbfgs_iters:
         step = min(chunk, cfg.lbfgs_iters - done)
-        nn_c, th_c, objs = run_lbfgs(nn_c, th_c, lam_lane, step)
+        nn_c, th_c, objs, lb_state = run_lbfgs(nn_c, th_c, lam_lane,
+                                               lb_state, step)
         jax.block_until_ready(objs)
         done += step
     if objs is None:
@@ -398,12 +344,13 @@ def _validate_best_init(net, nn_params, data, tp, theta_inits):
 
 
 @partial(jax.jit, static_argnums=(0, 5))
-def _validate_lbfgs_chunk(net, nn_params, theta, data, tp, iters):
+def _validate_lbfgs_chunk(net, nn_params, theta, data, tp, iters,
+                          state=None):
     def loss(th):
         return suppression_loss(net, nn_params, th, data, tp, 0.0)
 
-    res = lbfgs_minimize(loss, theta, max_iters=iters)
-    return res.x, res.fval
+    res = lbfgs_minimize(loss, theta, max_iters=iters, init_state=state)
+    return res.x, res.fval, res.state
 
 
 def validate_suppression(
@@ -419,9 +366,10 @@ def validate_suppression(
     (reference ``validate_suppression_model``, :179-222).
 
     Returns (theta[N], objective).  The L-BFGS runs as bounded-runtime
-    chunks (history restarts) — long single dispatches can trip the axon
-    worker watchdog.  ``nn_params`` may carry a leading restart axis
-    ([R, P]): the whole restart population validates in one batched pass.
+    chunks (curvature history threaded through, so chunking never changes
+    the result) — long single dispatches can trip the axon worker
+    watchdog.  ``nn_params`` may carry a leading restart axis ([R, P]):
+    the whole restart population validates in one batched pass.
     """
     data = jnp.asarray(data, jnp.float32)
     tp = jnp.asarray(timepoints, jnp.float32)
@@ -433,18 +381,18 @@ def validate_suppression(
             lambda nn: _validate_best_init(net, nn, data, tp, theta_inits)))(
             nn_params)
         step = jax.jit(jax.vmap(
-            lambda nn, th: _validate_lbfgs_chunk(net, nn, th, data, tp,
-                                                 chunk),
+            lambda nn, th, st: _validate_lbfgs_chunk(net, nn, th, data, tp,
+                                                     chunk, st),
         ), static_argnums=())
     else:
         best = _validate_best_init(net, nn_params, data, tp, theta_inits)
-        step = lambda nn, th: _validate_lbfgs_chunk(net, nn, th, data, tp,  # noqa: E731
-                                                    chunk)
+        step = lambda nn, th, st: _validate_lbfgs_chunk(net, nn, th, data,  # noqa: E731
+                                                        tp, chunk, st)
 
-    theta, obj = best, None
+    theta, obj, st = best, None, None
     done = 0
     while done < lbfgs_iters:
-        theta, obj = step(nn_params, theta)
+        theta, obj, st = step(nn_params, theta, st)
         jax.block_until_ready(obj)
         done += chunk
     return theta, obj
@@ -531,20 +479,21 @@ def validate_suppression_sigma_batch(
         return jax.vmap(one)(d)
 
     @partial(jax.jit, static_argnums=1)
-    def refine(x0s, iters):
-        def one(x0, d_one):
+    def refine(x0s, iters, state):
+        def one(x0, d_one, st):
             res = lbfgs_minimize(_sigma_nll(net, nn_params, d_one, tp), x0,
-                                 max_iters=iters)
-            return res.x, res.fval
+                                 max_iters=iters, init_state=st)
+            return res.x, res.fval, res.state
 
-        return jax.vmap(one)(x0s, data)
+        return jax.vmap(one)(x0s, data, state)
 
     xs = screen(data)
     nlls = None
+    st = None
     done = 0
     while done < lbfgs_iters:
         step = min(max(1, dispatch_chunk), lbfgs_iters - done)
-        xs, nlls = refine(xs, step)
+        xs, nlls, st = refine(xs, step, st)
         jax.block_until_ready(nlls)
         done += step
     if nlls is None:

@@ -68,10 +68,10 @@ def fit_k_sigma(
     bounds apply to both components of the (k, σ) vector.
 
     The L-BFGS run is split into ``dispatch_chunk``-iteration dispatches
-    (history restarts at chunk boundaries): one 1000-iteration program over
-    the 14-timepoint Fujita solves is long enough to get the axon TPU
-    worker killed (same failure mode as ``SuppressionFitConfig
-    .dispatch_chunk``).
+    (the curvature history threads through the chunks, so chunking never
+    changes the result): one 1000-iteration program over the 14-timepoint
+    Fujita solves is long enough to get the axon TPU worker killed (same
+    failure mode as ``SuppressionFitConfig.dispatch_chunk``).
 
     Returns ``(ks[N], sigmas[N], objectives[N])``.
     """
@@ -79,8 +79,8 @@ def fit_k_sigma(
     lb, ub = bounds
 
     @partial(jax.jit, static_argnums=(1,))
-    def run_chunk(x0s, iters):
-        def fit_one(x0, ind, data):
+    def run_chunk(x0s, iters, state):
+        def fit_one(x0, ind, data, st):
             def loss(x):
                 return sse_sigma(model, {"k": x[0]}, x[1], ind,
                                  cohort.timepoints, data, solver=solver,
@@ -89,19 +89,20 @@ def fit_k_sigma(
             res = lbfgs_minimize(loss, x0,
                                  lower=jnp.full(2, lb, jnp.float32),
                                  upper=jnp.full(2, ub, jnp.float32),
-                                 max_iters=iters)
-            return res.x, res.fval
+                                 max_iters=iters, init_state=st)
+            return res.x, res.fval, res.state
 
-        return jax.vmap(fit_one)(x0s, cohort.individuals, cohort.cpeptide)
+        return jax.vmap(fit_one)(x0s, cohort.individuals, cohort.cpeptide,
+                                 state)
 
     xs = jnp.broadcast_to(
         jnp.array([initial_k, initial_sigma], jnp.float32),
         (cohort.n, 2))
-    fvals = None
+    fvals, st = None, None
     done = 0
     while done < lbfgs_iters:
         step = min(dispatch_chunk, lbfgs_iters - done)
-        xs, fvals = run_chunk(xs, step)
+        xs, fvals, st = run_chunk(xs, step, st)
         jax.block_until_ready(fvals)
         done += step
     return xs[:, 0], xs[:, 1], fvals

@@ -29,11 +29,35 @@ import jax.numpy as jnp
 from jax import lax
 
 
+class LBFGSState(NamedTuple):
+    """Resumable optimizer state (curvature history + current iterate).
+
+    Returned on every ``lbfgs_minimize`` call and accepted back via
+    ``init_state`` so a long run can be split into bounded-runtime
+    dispatches (the axon TPU tunnel kills very long single programs)
+    WITHOUT restarting the inverse-Hessian history: chunked-with-state
+    resumption is bit-identical to one uninterrupted run of the same
+    total iteration budget.
+    """
+
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    gfin: jax.Array
+    S: jax.Array        # [m, p] s-history (circular)
+    Y: jax.Array        # [m, p] y-history
+    rho: jax.Array      # [m]
+    valid: jax.Array    # [m]
+    head: jax.Array
+    done: jax.Array     # lane finished (converged / frozen) — stays frozen
+
+
 class LBFGSResult(NamedTuple):
     x: jax.Array
     fval: jax.Array
     converged: jax.Array
     num_iters: jax.Array
+    state: LBFGSState | None = None
 
 
 def _project(x, lower, upper):
@@ -57,6 +81,7 @@ def lbfgs_minimize(
     max_backtracks: int = 30,
     wolfe_patience: int = 6,
     fun_and_grad: Callable[[jax.Array], tuple] | None = None,
+    init_state: LBFGSState | None = None,
 ) -> LBFGSResult:
     """Minimize ``fun(x)`` starting from ``x0`` (flat vector).
 
@@ -64,31 +89,32 @@ def lbfgs_minimize(
 
     ``wolfe_patience`` caps the curvature-chasing half of the line search:
     once an Armijo-satisfying point exists, at most that many further
-    bisection evaluations hunt for the weak-Wolfe curvature condition before
-    the best Armijo point is accepted (the pair-storage guard keeps the
-    history sane either way).  Under ``vmap`` every lane pays for the
-    slowest lane's line search, and objectives whose curvature condition is
-    hard to satisfy otherwise burn the full ``max_backtracks`` ODE-solve
-    evaluations on every outer iteration — this cap cut the flagship
-    refinement stage ~20% at bit-identical final objectives (measured at
-    two seeds: 51.6→39.2 s cold, 48.3→42.1 s warm, best objective
-    unchanged to 4 decimals in both).
+    bisection evaluations (counted from the evaluation that found it) hunt
+    for the weak-Wolfe curvature condition before the best Armijo point is
+    accepted (the pair-storage guard keeps the history sane either way).
+    Under ``vmap`` every lane pays for the slowest lane's line search, and
+    objectives whose curvature condition is hard to satisfy otherwise burn
+    the full ``max_backtracks`` ODE-solve evaluations on every outer
+    iteration — this cap cut the flagship refinement stage ~20% at
+    bit-identical final objectives (measured at two seeds: 51.6→39.2 s
+    cold, 48.3→42.1 s warm, best objective unchanged to 4 decimals in
+    both).
 
     ``fun_and_grad`` overrides AD with a fused (value, grad) evaluator —
     e.g. the Pallas adjoint kernel (``ops/pallas_grad.py``); every line-
     search trial point goes through it.
+
+    ``init_state`` resumes a previous call's ``result.state``: the iterate,
+    gradient, and curvature history carry over, so N chunked calls of
+    ``max_iters=k`` equal one call of ``max_iters=N·k`` bit-for-bit
+    (``x0`` is only used for its shape/dtype in that case).  Lanes that
+    already converged or froze stay put.
     """
     dtype = x0.dtype
     p = x0.shape[0]
     m = history
 
-    x0 = _project(x0, lower, upper)
     vg = fun_and_grad if fun_and_grad is not None else jax.value_and_grad(fun)
-
-    f0, g0 = vg(x0)
-    g0_fin = jnp.isfinite(g0).all()
-    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    bad_start = ~jnp.isfinite(f0)
 
     class _S(NamedTuple):
         x: jax.Array
@@ -103,13 +129,30 @@ def lbfgs_minimize(
         it: jax.Array
         done: jax.Array
 
-    init = _S(
-        x=x0, f=f0, g=g0, gfin=g0_fin,
-        S=jnp.zeros((m, p), dtype), Y=jnp.zeros((m, p), dtype),
-        rho=jnp.zeros((m,), dtype), valid=jnp.zeros((m,), bool),
-        head=jnp.asarray(0, jnp.int32), it=jnp.asarray(0, jnp.int32),
-        done=bad_start,
-    )
+    if init_state is None:
+        x0 = _project(x0, lower, upper)
+        f0, g0 = vg(x0)
+        g0_fin = jnp.isfinite(g0).all()
+        g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+        bad_start = ~jnp.isfinite(f0)
+        init = _S(
+            x=x0, f=f0, g=g0, gfin=g0_fin,
+            S=jnp.zeros((m, p), dtype), Y=jnp.zeros((m, p), dtype),
+            rho=jnp.zeros((m,), dtype), valid=jnp.zeros((m,), bool),
+            head=jnp.asarray(0, jnp.int32), it=jnp.asarray(0, jnp.int32),
+            done=bad_start,
+        )
+    else:
+        st = init_state
+        if st.S.shape != (m, p):
+            raise ValueError(
+                f"init_state history shape {st.S.shape} does not match "
+                f"(history={m}, p={p}); pass the same `history` as the "
+                "call that produced the state")
+        bad_start = ~jnp.isfinite(st.f)
+        init = _S(x=st.x, f=st.f, g=st.g, gfin=st.gfin, S=st.S, Y=st.Y,
+                  rho=st.rho, valid=st.valid, head=st.head,
+                  it=jnp.asarray(0, jnp.int32), done=st.done)
 
     def two_loop(s: _S) -> jax.Array:
         """H·g via the two-loop recursion over valid history slots."""
@@ -182,13 +225,17 @@ def lbfgs_minimize(
             bg: jax.Array
             bgfin: jax.Array
             b_ok: jax.Array
+            k_armijo: jax.Array   # evaluation index of the FIRST Armijo point
             k: jax.Array
             ok: jax.Array
 
         def ls_cond(c: _LS):
             # stop early once an Armijo point exists and the curvature hunt
-            # has exceeded its patience — the fallback accepts c.bx
-            give_up_wolfe = c.b_ok & (c.k >= wolfe_patience)
+            # has exceeded its patience (counted from the evaluation that
+            # found the Armijo point, so a lane that needed many halvings
+            # still gets its curvature bisections) — the fallback accepts
+            # c.bx
+            give_up_wolfe = c.b_ok & (c.k - c.k_armijo > wolfe_patience)
             return (~c.ok) & (c.k < max_backtracks) & ~give_up_wolfe
 
         def ls_body(c: _LS) -> _LS:
@@ -224,6 +271,8 @@ def lbfgs_minimize(
                 bg=jnp.where(better, gt, c.bg),
                 bgfin=jnp.where(better, gt_fin, c.bgfin),
                 b_ok=c.b_ok | armijo,
+                k_armijo=jnp.where(c.b_ok, c.k_armijo,
+                                   jnp.where(armijo, c.k, c.k_armijo)),
                 k=c.k + 1, ok=ok)
 
         ls0 = _LS(lo=jnp.asarray(0.0, dtype), hi=inf,
@@ -231,6 +280,7 @@ def lbfgs_minimize(
                   x=s.x, f=s.f, g=s.g, gfin=s.gfin,
                   bx=s.x, bf=s.f, bg=s.g, bgfin=s.gfin,
                   b_ok=jnp.asarray(False),
+                  k_armijo=jnp.asarray(0, jnp.int32),
                   k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(False))
         ls = lax.while_loop(ls_cond, ls_body, ls0)
 
@@ -274,5 +324,9 @@ def lbfgs_minimize(
     final = lax.while_loop(cond, lambda s: body(s), init)
     pg = final.x - _project(final.x - final.g, lower, upper)
     converged = (jnp.max(jnp.abs(pg)) < gtol) & final.gfin & ~bad_start
+    out_state = LBFGSState(x=final.x, f=final.f, g=final.g, gfin=final.gfin,
+                           S=final.S, Y=final.Y, rho=final.rho,
+                           valid=final.valid, head=final.head,
+                           done=final.done)
     return LBFGSResult(x=final.x, fval=final.f, converged=converged,
-                       num_iters=final.it)
+                       num_iters=final.it, state=out_state)

@@ -35,10 +35,11 @@ def main():
 
     if args.smoke:
         cfg = TrainConfig(initial_guesses=300, selected_initials=4,
-                          adam_iters=25, lbfgs_iters=25)
+                          adam_iters=25, lbfgs_iters=25, log_timings=True)
     else:
         cfg = TrainConfig(initial_guesses=args.inits,
-                          selected_initials=args.restarts)
+                          selected_initials=args.restarts,
+                          log_timings=True)
 
     r = run_conditional_pipeline(args, cfg, "cude_neural_parameters_xl.npz")
     train, test = r.train, r.test

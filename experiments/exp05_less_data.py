@@ -47,8 +47,10 @@ def main():
     fractions = [0.2, 0.6] if args.smoke else \
         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
     cfg = TrainConfig(initial_guesses=100, selected_initials=2,
-                      adam_iters=20, lbfgs_iters=20) if args.smoke else \
-        TrainConfig(initial_guesses=10_000, selected_initials=10)
+                      adam_iters=20, lbfgs_iters=20,
+                      log_timings=True) if args.smoke else \
+        TrainConfig(initial_guesses=10_000, selected_initials=10,
+                    log_timings=True)
 
     rng = np.random.default_rng(args.seed)
     rows = []
@@ -96,7 +98,9 @@ def main():
             "fraction": frac,
             "n_train": len(sub.ages),
             "selected_restart": int(best),
-            "train_objective": float(res.objectives[0]),
+            # the objective of the SELECTED restart, so train-vs-test
+            # comparisons within a row describe one model
+            "train_objective": float(res.objectives[best]),
             "test_sse_mean": float(np.mean(finite)),
             "test_sse_mean_inliers": float(np.mean(finite[~out_mask]))
             if (~out_mask).any() else float("nan"),

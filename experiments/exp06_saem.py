@@ -59,10 +59,12 @@ def main():
                               pre.ages, pre.t2dm)
 
     cfg_pre = TrainConfig(initial_guesses=100, selected_initials=2,
-                          adam_iters=20, lbfgs_iters=20, adam_lr=1e-3) \
+                          adam_iters=20, lbfgs_iters=20, adam_lr=1e-3,
+                          log_timings=True) \
         if args.smoke else \
         TrainConfig(initial_guesses=2500, selected_initials=15,
-                    adam_iters=500, lbfgs_iters=500, adam_lr=1e-3)
+                    adam_iters=500, lbfgs_iters=500, adam_lr=1e-3,
+                    log_timings=True)
 
     def pretrain():
         with Timer():

@@ -34,8 +34,9 @@ def main():
     from conditional_ude_tpu.utils.stats import spearman
 
     cfg = TrainConfig(initial_guesses=200, selected_initials=4,
-                      adam_iters=25, lbfgs_iters=25) if args.smoke else \
-        TrainConfig()
+                      adam_iters=25, lbfgs_iters=25,
+                      log_timings=True) if args.smoke else \
+        TrainConfig(log_timings=True)
 
     # age covariate as a third NN input (07-covariate-inclusion.jl:32)
     r = run_conditional_pipeline(args, cfg,

@@ -86,10 +86,9 @@ def main():
     ci_steps = 200 if args.smoke else 10_000
 
     from conditional_ude_tpu.analysis import (
+        cohort_beta_profiles,
         find_confidence_intervals,
-        likelihood_profile,
     )
-    from conditional_ude_tpu.fit.losses import sse
     from conditional_ude_tpu.models.cpeptide import simulate
 
     def ci_bound_sims(fit_model, nn_p, betas, sigmas, cohort, idx_med,
@@ -97,22 +96,23 @@ def main():
         """Profile-CI-bound trajectories around selected subjects
         (``02-conditional.jl:186-208``: profile β over [β−10, β+15],
         threshold crossing, simulate both bound β's; a ``None`` side means
-        the CI is open there)."""
+        the CI is open there).  All selected subjects profile in ONE
+        batched ``cohort_beta_profiles`` call (``center=β̂`` makes the grid
+        a shared Δβ axis; Pallas-fused on TPU)."""
+        idx = np.asarray(idx_med, int)
+        sub = cohort._replace(
+            individuals=jax.tree.map(lambda a: a[idx], cohort.individuals),
+            cpeptide=cohort.cpeptide[idx])
+        b_sel = np.asarray(betas, np.float32)[idx]
+        s_sel = np.asarray(sigmas, np.float32)[idx]
+        prof = cohort_beta_profiles(fit_model, nn_p, sub, sigmas=s_sel,
+                                    lower=-10.0, upper=15.0, steps=ci_steps,
+                                    center=b_sel, substeps=8)
+        ci = find_confidence_intervals(prof, method)
+
         out = {}
-        for pos, i in enumerate(np.asarray(idx_med)):
-            i = int(i)
-            b_i, s_i = float(betas[i]), float(sigmas[i])
-            ind = jax.tree.map(lambda a: a[i], cohort.individuals)
-            data_i = jnp.asarray(cohort.cpeptide[i])
-
-            def loss_b(beta):
-                return sse(fit_model, {"neural": nn_p, "conditional": beta},
-                           ind, cohort.timepoints, data_i,
-                           solver="rk4", substeps=8)
-
-            prof = likelihood_profile(loss_b, b_i - 10.0, b_i + 15.0,
-                                      steps=ci_steps, sigma=s_i)
-            ci = find_confidence_intervals(prof, method)
+        for pos, i in enumerate(idx):
+            ind = cohort.individual(int(i))
 
             def sim_at(beta):
                 return np.asarray(simulate(
@@ -122,9 +122,11 @@ def main():
                     ind, jnp.asarray(dense_t), solver="rk4",
                     substeps=4).ys[:, 0])
 
+            # the profile grid is Δβ around each subject's β̂
+            lo, hi = ci.lower[pos], ci.upper[pos]
             out[pos] = (
-                sim_at(ci.lower) if np.isfinite(ci.lower) else None,
-                sim_at(ci.upper) if np.isfinite(ci.upper) else None)
+                sim_at(float(b_sel[pos]) + lo) if np.isfinite(lo) else None,
+                sim_at(float(b_sel[pos]) + hi) if np.isfinite(hi) else None)
         return out
 
     # ------------------------------------------------------------------ data
@@ -307,8 +309,6 @@ def main():
         if saved_prof is not None:
             p_grid, p_values = saved_prof
         else:
-            from conditional_ude_tpu.analysis import cohort_beta_profiles
-
             prof = cohort_beta_profiles(model, nn_best, cohort_test,
                                         sigmas=jnp.asarray(s_test),
                                         lower=float(lb) - 1.0,

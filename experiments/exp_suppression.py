@@ -75,8 +75,11 @@ def main():
     net = suppression_net(depth=5, width=3)
     lambdas = [0.0, 0.1] if args.smoke else [0.0, 0.001, 0.01, 0.1, 1.0]
     if args.fine:
+        # round the log-spaced points so e=-1.0 lands exactly on the main
+        # sweep's 0.1 (10**-1.0 float-rounds to 0.10000000000000002, which
+        # would duplicate the gridpoint and its artifact under a 17-digit key)
         lambdas = sorted({0.0, 0.01, 1.0, 10.0, 100.0}
-                         | {float(10.0 ** e)
+                         | {round(float(10.0 ** e), 12)
                             for e in np.linspace(-1.8, -0.6, 7)})
     if args.lambdas is not None:
         lambdas = list(args.lambdas)

@@ -90,3 +90,70 @@ def test_nan_gradient_is_not_spurious_convergence():
     res = lbfgs_minimize(flat_nan_grad, jnp.array([1.0, -2.0]), max_iters=20)
     assert not bool(res.converged)
     assert np.isfinite(np.array(res.x)).all()
+
+
+def test_chunked_resume_matches_single_run():
+    """N chunked calls threading `state` must equal one uninterrupted run
+    bit-for-bit (the suppression paths rely on this to keep axon dispatch
+    runtimes bounded without restarting the curvature history)."""
+    def f(x):
+        # non-trivial coupling so the history actually matters
+        return ((1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+                + 0.5 * jnp.sum(x**2))
+
+    x0 = jnp.array([-1.2, 1.0])
+    ref = lbfgs_minimize(f, x0, max_iters=60, gtol=0.0)
+
+    res = lbfgs_minimize(f, x0, max_iters=20, gtol=0.0)
+    for _ in range(2):
+        res = lbfgs_minimize(f, x0, max_iters=20, gtol=0.0,
+                             init_state=res.state)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(np.asarray(res.fval), np.asarray(ref.fval))
+
+
+def test_chunked_resume_keeps_converged_lane_frozen():
+    def f(x):
+        return jnp.sum((x - 3.0) ** 2)
+
+    res = lbfgs_minimize(f, jnp.zeros(2), max_iters=100)
+    assert bool(res.converged)
+    x_done = np.asarray(res.x)
+    res2 = lbfgs_minimize(f, jnp.zeros(2), max_iters=100,
+                          init_state=res.state)
+    np.testing.assert_array_equal(np.asarray(res2.x), x_done)
+    assert bool(res2.converged)
+    assert int(res2.num_iters) == 0
+
+
+def test_chunked_resume_vmapped():
+    shifts = jnp.linspace(-2.0, 2.0, 4)
+
+    def one_shot(c):
+        return lbfgs_minimize(lambda x: jnp.sum((x - c) ** 4),
+                              jnp.zeros(2), max_iters=40, gtol=0.0).x
+
+    def chunked(c):
+        f = lambda x: jnp.sum((x - c) ** 4)  # noqa: E731
+        r = lbfgs_minimize(f, jnp.zeros(2), max_iters=10, gtol=0.0)
+        for _ in range(3):
+            r = lbfgs_minimize(f, jnp.zeros(2), max_iters=10, gtol=0.0,
+                               init_state=r.state)
+        return r.x
+
+    np.testing.assert_array_equal(np.asarray(jax.vmap(chunked)(shifts)),
+                                  np.asarray(jax.vmap(one_shot)(shifts)))
+
+
+def test_wolfe_patience_counts_from_armijo_point():
+    """A lane whose first Armijo step needs many halvings must still get
+    its curvature bisections (the cap counts from the Armijo discovery,
+    not from the start of the line search) — so convergence on a badly
+    scaled objective is not degraded by a small patience."""
+    def f(x):
+        return 0.5 * 1e6 * x[0] ** 2 + 0.5 * x[1] ** 2
+
+    res = lbfgs_minimize(f, jnp.array([1.0, 1.0]), max_iters=200,
+                         wolfe_patience=2, gtol=1e-8)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), [0.0, 0.0], atol=1e-6)
