@@ -21,6 +21,56 @@ import numpy as np
 from common import configure_backend,  Timer, make_parser, write_csv, write_metrics
 
 
+def fine_lambdas():
+    """The reference's init_run fine λ grid (12 points; log-spaced values
+    rounded so 10^-1.0 lands exactly on the main sweep's 0.1)."""
+    return sorted({0.0, 0.01, 1.0, 10.0, 100.0}
+                  | {round(float(10.0 ** e), 12)
+                     for e in np.linspace(-1.8, -0.6, 7)})
+
+
+def merge_fine_outputs(args):
+    """Merge per-λ partial outputs into the ``_fine`` sweep CSV + metrics.
+
+    Long single processes (the whole fine sweep + 24 validations) wedge the
+    axon TPU worker; the robust pattern is one ``--lambdas <v>
+    --no-test-stage`` process per λ, each writing ``_<λ>``-tagged partials,
+    merged here.  The test stage is shared with the main sweep (same
+    λ=0.01 artifact), so it is copied from the main metrics when present.
+    """
+    import csv
+    import json
+
+    rows, summary = [], {}
+    missing = []
+    for lam in fine_lambdas():
+        mpath = args.results / f"exp_suppression_metrics_{lam}.json"
+        cpath = args.results / f"suppression_sweep_{lam}.csv"
+        if not (mpath.exists() and cpath.exists()):
+            missing.append(lam)
+            continue
+        part = json.loads(mpath.read_text())
+        summary[str(lam)] = part[str(lam)]
+        with cpath.open() as f:
+            for r in csv.DictReader(f):
+                rows.append({k: float(v) if k != "restart" else int(v)
+                             for k, v in r.items()})
+    if missing:
+        sys.exit(f"--merge-fine: missing per-λ partials for {missing}; "
+                 f"run `--lambdas <λ> --no-test-stage` for each first")
+
+    main_metrics = args.results / "exp_suppression_metrics.json"
+    if main_metrics.exists():
+        test_stage = json.loads(main_metrics.read_text()).get("test_stage")
+        if test_stage is not None:
+            summary["test_stage"] = test_stage
+
+    rows.sort(key=lambda r: (r["lambda"], r["restart"]))
+    write_csv(args.results / "suppression_sweep_fine.csv", rows)
+    write_metrics(args.results / "exp_suppression_metrics_fine.json",
+                  summary)
+
+
 def main():
     p = make_parser(__doc__)
     p.add_argument("--noise", type=float, default=0.1)
@@ -38,7 +88,16 @@ def main():
                    help="the reference's init_run fine λ grid: "
                         "{0, 0.01} ∪ 10^[-1.8:0.2:-0.6] ∪ {1, 10, 100} "
                         "(suppression/results/init_run/, 12 points)")
+    p.add_argument("--merge-fine", action="store_true",
+                   help="no fitting: merge the per-λ partial outputs of "
+                        "the fine grid (written by one-λ-per-process runs, "
+                        "the axon-robust pattern) into the _fine sweep CSV "
+                        "and metrics")
     args = p.parse_args()
+
+    if args.merge_fine:
+        return merge_fine_outputs(args)
+
     configure_backend(args)
 
     import jax
@@ -75,12 +134,7 @@ def main():
     net = suppression_net(depth=5, width=3)
     lambdas = [0.0, 0.1] if args.smoke else [0.0, 0.001, 0.01, 0.1, 1.0]
     if args.fine:
-        # round the log-spaced points so e=-1.0 lands exactly on the main
-        # sweep's 0.1 (10**-1.0 float-rounds to 0.10000000000000002, which
-        # would duplicate the gridpoint and its artifact under a 17-digit key)
-        lambdas = sorted({0.0, 0.01, 1.0, 10.0, 100.0}
-                         | {round(float(10.0 ** e), 12)
-                            for e in np.linspace(-1.8, -0.6, 7)})
+        lambdas = fine_lambdas()
     if args.lambdas is not None:
         lambdas = list(args.lambdas)
     cfg = SuppressionFitConfig(initial_space=50, select_best_n=3,

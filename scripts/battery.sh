@@ -44,10 +44,23 @@ run exp07 experiments/exp07_covariate.py --retrain
 run exp_parity experiments/exp_parity.py
 run exp_symreg_search experiments/exp_symreg_search.py --retrain
 run exp_advi experiments/exp_advi.py --retrain
-# suppression: main 5-point sweep, then the fine 13-point grid (joint
-# batched driver), then the held-out test-stage revalidation
+# suppression: main 5-point sweep, then the fine 12-point grid ONE λ PER
+# PROCESS (a single process holding the whole fine sweep + 24 validations
+# wedges the axon worker after ~40 min — measured twice), merged afterwards,
+# then the held-out test-stage revalidation
 run exp_suppression experiments/exp_suppression.py --retrain
-run exp_suppression_fine experiments/exp_suppression.py --fine --joint --retrain
+for lam in $(python -c "
+from pathlib import Path
+import sys
+sys.path.insert(0, 'experiments')
+import numpy as np
+vals = sorted({0.0, 0.01, 1.0, 10.0, 100.0}
+              | {round(float(10.0 ** e), 12) for e in np.linspace(-1.8, -0.6, 7)})
+print(' '.join(str(v) for v in vals))"); do
+  run "exp_suppression_fine_$lam" experiments/exp_suppression.py \
+      --lambdas "$lam" --no-test-stage --retrain
+done
+run exp_suppression_fine_merge experiments/exp_suppression.py --merge-fine
 run exp_suppression_test experiments/exp_suppression.py --test-only
 # figures last: re-render the full gallery from the fresh artifacts
 run exp_figures experiments/exp_figures.py
