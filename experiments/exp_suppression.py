@@ -96,6 +96,9 @@ def main():
     args = p.parse_args()
 
     if args.merge_fine:
+        # no backend needed; mirror configure_backend's smoke path split
+        if args.smoke:
+            args.results = args.results / "smoke"
         return merge_fine_outputs(args)
 
     configure_backend(args)

@@ -106,3 +106,59 @@ def test_exp_suppression_joint_sweep_driver(tmp_path):
         j = m_joint[lam]
         for k in ("best_correlation_train", "best_correlation_valid"):
             assert abs(j[k] - s[k]) < 0.25, (lam, k, j[k], s[k])
+
+
+def test_exp_suppression_merge_fine(tmp_path):
+    """--merge-fine must stitch one-λ-per-process partials (the axon-robust
+    run pattern) into the _fine sweep CSV + metrics, λ-sorted, with the
+    shared test stage copied from the main metrics."""
+    import csv
+
+    res = tmp_path / "results"
+    res.mkdir()
+    lams = sorted({0.0, 0.01, 1.0, 10.0, 100.0}
+                  | {round(float(10.0 ** e), 12)
+                     for e in np.linspace(-1.8, -0.6, 7)})
+    fields = ["lambda", "restart", "correlation_train", "loss_train",
+              "correlation_valid", "loss_valid",
+              "correlation_valid_nonoise", "loss_valid_nonoise"]
+    for i, lam in enumerate(lams):
+        (res / f"exp_suppression_metrics_{lam}.json").write_text(json.dumps(
+            {str(lam): {"best_correlation_train": 0.9 - 0.01 * i,
+                        "best_correlation_valid": 0.95 - 0.01 * i}}))
+        with (res / f"suppression_sweep_{lam}.csv").open("w") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            w.writeheader()
+            for r in (1, 0):   # deliberately unsorted restarts
+                w.writerow({"lambda": lam, "restart": r,
+                            "correlation_train": 0.8, "loss_train": 1.0,
+                            "correlation_valid": 0.9, "loss_valid": 0.5,
+                            "correlation_valid_nonoise": 0.95,
+                            "loss_valid_nonoise": 0.3})
+    (res / "exp_suppression_metrics.json").write_text(json.dumps(
+        {"0.01": {}, "test_stage": {"lambda": 0.01, "spearman": 0.89}}))
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "exp_suppression.py"),
+         "--merge-fine", "--results", str(res)],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    merged = json.loads(
+        (res / "exp_suppression_metrics_fine.json").read_text())
+    assert set(merged) == {str(l) for l in lams} | {"test_stage"}
+    assert merged["test_stage"]["spearman"] == 0.89
+    with (res / "suppression_sweep_fine.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 * len(lams)
+    keys = [(float(r["lambda"]), int(r["restart"])) for r in rows]
+    assert keys == sorted(keys)
+
+    # a missing per-λ partial must be a hard, named error
+    (res / f"suppression_sweep_{lams[3]}.csv").unlink()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "exp_suppression.py"),
+         "--merge-fine", "--results", str(res)],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode != 0
+    assert str(lams[3]) in proc.stderr
