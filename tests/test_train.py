@@ -171,3 +171,24 @@ def test_evaluate_model_prefers_true_weights(rng):
     objs = evaluate_model(model, candidates, betas_train, cohort,
                           lbfgs_iters=200)
     assert select_best(np.asarray(objs)) == 0
+
+
+def test_train_conditional_dispatch_chunking_is_invisible(rng):
+    """N bounded-runtime dispatches must equal one uninterrupted run
+    bit-for-bit: the Adam optimizer state and the L-BFGS curvature history
+    (ops/lbfgs.py::LBFGSState) both thread through the chunks, so
+    dispatch_chunk — an axon-tunnel runtime knob — can never change the
+    trained model."""
+    model, net, cohort, _, _ = _synthetic_conditional_cohort(rng)
+    base = dict(initial_guesses=32, selected_initials=2,
+                adam_iters=60, lbfgs_iters=60, screen_chunk=32)
+    one = train_conditional(model, cohort, jax.random.key(3),
+                            TrainConfig(**base, dispatch_chunk=60))
+    chunked = train_conditional(model, cohort, jax.random.key(3),
+                                TrainConfig(**base, dispatch_chunk=25))
+    np.testing.assert_array_equal(np.asarray(one.nn_params),
+                                  np.asarray(chunked.nn_params))
+    np.testing.assert_array_equal(np.asarray(one.betas),
+                                  np.asarray(chunked.betas))
+    np.testing.assert_array_equal(np.asarray(one.objectives),
+                                  np.asarray(chunked.objectives))
