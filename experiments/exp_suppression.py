@@ -144,7 +144,9 @@ def main():
                                adam_iters=30, lbfgs_iters=30) \
         if args.smoke else SuppressionFitConfig()
 
-    n_valid_inits = 50 if args.smoke else 1000
+    # the reference screens the SAME 10k-size init pool for validation
+    # refits as for training (suppression.jl:37 — initial_space candidates)
+    n_valid_inits = 50 if args.smoke else 10_000
     theta_inits_valid = jnp.asarray(
         rng.uniform(size=(n_valid_inits, data_valid.shape[0])), jnp.float32)
 
@@ -263,7 +265,9 @@ def main():
                                        [per_group] * len(group_means), tp,
                                        noise_multiplicative=args.noise,
                                        rng=rng)
-    theta_grid = jnp.asarray(rng.uniform(size=64), jnp.float32)
+    # reference figures.jl:44 screens 1000 scalar θ inits per test subject
+    n_test_inits = 64 if args.smoke else 1000
+    theta_grid = jnp.asarray(rng.uniform(size=n_test_inits), jnp.float32)
 
     def test_rho(restart):
         xs, _ = validate_suppression_sigma_batch(
