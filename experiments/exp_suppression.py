@@ -22,9 +22,11 @@ from common import configure_backend,  Timer, make_parser, write_csv, write_metr
 
 
 def fine_lambdas():
-    """The reference's init_run fine λ grid (12 points; log-spaced values
-    rounded so 10^-1.0 lands exactly on the main sweep's 0.1)."""
-    return sorted({0.0, 0.01, 1.0, 10.0, 100.0}
+    """The reference's init_run fine λ grid plus the test_run extremes
+    (13 points; suppression/results/{init_run,test_run}/ — log-spaced
+    values rounded so 10^-1.0 lands exactly on the main sweep's 0.1,
+    and the test_run tail λ ∈ {10, 100, 1000})."""
+    return sorted({0.0, 0.01, 1.0, 10.0, 100.0, 1000.0}
                   | {round(float(10.0 ** e), 12)
                      for e in np.linspace(-1.8, -0.6, 7)})
 

@@ -116,9 +116,12 @@ def test_exp_suppression_merge_fine(tmp_path):
 
     res = tmp_path / "results"
     res.mkdir()
-    lams = sorted({0.0, 0.01, 1.0, 10.0, 100.0}
-                  | {round(float(10.0 ** e), 12)
-                     for e in np.linspace(-1.8, -0.6, 7)})
+    sys.path.insert(0, str(REPO / "experiments"))
+    try:
+        from exp_suppression import fine_lambdas
+    finally:
+        sys.path.pop(0)
+    lams = fine_lambdas()
     fields = ["lambda", "restart", "correlation_train", "loss_train",
               "correlation_valid", "loss_valid",
               "correlation_valid_nonoise", "loss_valid_nonoise"]
