@@ -1,0 +1,183 @@
+"""Experiment 02s — multi-seed replication of the flagship cUDE pipeline.
+
+Beyond-parity robustness study the reference cannot afford on CPU: re-run
+the full exp02 pipeline (stratified fit/validation split → 25,000-init
+joint multi-start → validation selection → (β, σ) re-estimation on the
+full train/test cohorts, ``c-peptide/02-conditional.jl``) under several
+independent seeds, and report the across-seed spread of every headline
+metric (test SSE, Spearman ρ of β vs clamp indices, UDE-vs-cUDE win
+fraction).  Seed variation covers BOTH the fit/validation split and the
+multi-start initialisation draw — the two stochastic inputs of the
+reference pipeline.
+
+Run pattern (axon-robust, one seed per process):
+
+    for s in 11 22 33 44 55; do
+        python experiments/exp02_seeds.py --seeds $s
+    done
+    python experiments/exp02_seeds.py --merge
+
+Each seed writes ``results/exp02_seed_<s>.json``; ``--merge`` aggregates
+them into ``results/exp02_seeds_metrics.json`` (per-metric mean / sd /
+min / max) plus a per-seed CSV row table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from common import configure_backend, make_parser, per_type_mse, \
+    run_conditional_pipeline, write_csv, write_metrics
+
+DEFAULT_SEEDS = (11, 22, 33, 44, 55)
+
+# scalar metrics aggregated across seeds (dotted = nested lookup)
+AGGREGATED = (
+    "objective_best", "train_sse_mean", "test_sse_mean", "test_sse_median",
+    "spearman.first_phase", "spearman.age", "spearman.insulin_sensitivity",
+    "ude_vs_cude.test_mse_cude_mean", "ude_vs_cude.cude_better_fraction",
+    "train_seconds",
+)
+
+
+def _lookup(metrics: dict, dotted: str):
+    cur = metrics
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def run_seed(args, seed: int) -> dict:
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.fit.train import TrainConfig
+    from conditional_ude_tpu.models.cpeptide import (
+        CPeptideModel,
+        simulate_cohort,
+    )
+    from conditional_ude_tpu.nn import chain
+    from conditional_ude_tpu.utils.stats import spearman
+
+    cfg = TrainConfig(initial_guesses=200, selected_initials=4,
+                      adam_iters=25, lbfgs_iters=25,
+                      log_timings=True) if args.smoke else \
+        TrainConfig(log_timings=True)
+
+    seed_args = argparse.Namespace(**{**vars(args), "seed": seed})
+    p = run_conditional_pipeline(seed_args, cfg,
+                                 f"seeds/cude_neural_parameters_{seed}.npz")
+    train, test = p.train, p.test
+    sse_train, sse_test = p.sse_train, p.sse_test
+    b_all = np.concatenate([p.b_train, p.b_test])
+
+    corr = {
+        "first_phase": spearman(b_all, np.concatenate(
+            [train.first_phase, test.first_phase])),
+        "age": spearman(b_all, np.concatenate([train.ages, test.ages])),
+        "insulin_sensitivity": spearman(b_all, np.concatenate(
+            [train.insulin_sensitivity, test.insulin_sensitivity])),
+    }
+
+    # UDE-vs-cUDE vs the FIXED non-conditional baseline (exp01 artifact,
+    # 02-conditional.jl:716-795) so the comparison isolates seed variation
+    # of the conditional pipeline
+    ude_vs_cude = None
+    ude_path = args.artifacts / "ude_neural_parameters.npz"
+    if ude_path.exists():
+        ude_net = chain(4, 2, "tanh", input_dims=1)
+        ude_model = CPeptideModel(kind="ude", net=ude_net)
+        ude_nn = jnp.asarray(np.load(ude_path)["nn_params"][0])
+        res_u = simulate_cohort(ude_model, ude_nn,
+                                jnp.zeros((p.cohort_test.n, 0), jnp.float32),
+                                p.cohort_test)
+        mse_ude = np.mean((np.asarray(res_u.ys[:, :, 0])
+                           - test.cpeptide) ** 2, axis=1)
+        mse_cude = sse_test / train.timepoints.shape[0]
+        ude_vs_cude = {
+            "test_mse_ude_mean": float(mse_ude.mean()),
+            "test_mse_cude_mean": float(mse_cude.mean()),
+            "cude_better_fraction": float((mse_cude < mse_ude).mean()),
+        }
+
+    return {
+        "seed": seed,
+        "train_seconds": float(p.art["seconds"]),
+        "best_model_index": int(p.best),
+        "objective_best": float(p.art["objectives"][p.best]),
+        "train_sse_per_type": per_type_mse(train.types, sse_train),
+        "test_sse_per_type": per_type_mse(test.types, sse_test),
+        "train_sse_mean": float(sse_train.mean()),
+        "test_sse_mean": float(sse_test.mean()),
+        "test_sse_median": float(np.median(sse_test)),
+        "beta_bounds": [float(p.lb), float(p.ub)],
+        "spearman": corr,
+        "ude_vs_cude": ude_vs_cude,
+    }
+
+
+def merge(args) -> None:
+    parts = sorted(args.results.glob("exp02_seed_*.json"),
+                   key=lambda q: int(q.stem.rsplit("_", 1)[1]))
+    if not parts:
+        sys.exit(f"--merge: no exp02_seed_*.json under {args.results}; "
+                 "run `--seeds <s>` first")
+    rows = [json.loads(q.read_text()) for q in parts]
+
+    summary: dict = {"n_seeds": len(rows),
+                     "seeds": [r["seed"] for r in rows]}
+    for key in AGGREGATED:
+        vals = [v for v in (_lookup(r, key) for r in rows) if v is not None]
+        if not vals:
+            continue
+        a = np.asarray(vals, float)
+        summary[key] = {"mean": float(a.mean()),
+                        "sd": float(a.std(ddof=1)) if len(a) > 1 else 0.0,
+                        "min": float(a.min()), "max": float(a.max())}
+
+    write_metrics(args.results / "exp02_seeds_metrics.json", summary)
+    write_csv(args.results / "exp02_seeds.csv", [{
+        "seed": r["seed"],
+        "train_seconds": r["train_seconds"],
+        "objective_best": r["objective_best"],
+        "train_sse_mean": r["train_sse_mean"],
+        "test_sse_mean": r["test_sse_mean"],
+        "test_sse_median": r["test_sse_median"],
+        "spearman_first_phase": r["spearman"]["first_phase"],
+        "spearman_age": r["spearman"]["age"],
+        "spearman_isi": r["spearman"]["insulin_sensitivity"],
+        "cude_better_fraction":
+            (r["ude_vs_cude"] or {}).get("cude_better_fraction", ""),
+    } for r in rows])
+
+
+def main():
+    p = make_parser(__doc__)
+    p.add_argument("--seeds", type=int, nargs="*", default=None,
+                   help="seeds to run in THIS process (one per process is "
+                        "the axon-robust pattern); partials go to "
+                        "results/exp02_seed_<s>.json")
+    p.add_argument("--merge", action="store_true",
+                   help="aggregate per-seed partials into "
+                        "exp02_seeds_metrics.json + exp02_seeds.csv")
+    args = p.parse_args()
+    if args.merge:
+        if args.smoke:
+            args.results = args.results / "smoke"
+        return merge(args)
+    configure_backend(args)
+    for seed in (args.seeds if args.seeds else DEFAULT_SEEDS):
+        metrics = run_seed(args, seed)
+        write_metrics(args.results / f"exp02_seed_{seed}.json", metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -165,3 +165,77 @@ def test_exp_suppression_merge_fine(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=120)
     assert proc.returncode != 0
     assert str(lams[3]) in proc.stderr
+
+
+def test_exp02_seeds_partial_and_merge(tmp_path):
+    """The multi-seed replication driver must run a seed end-to-end (with
+    the UDE-comparison branch engaged), write its partial, and --merge must
+    aggregate partials into mean/sd/min/max summaries."""
+    art = tmp_path / "artifacts"
+    res = tmp_path / "results"
+    (art / "smoke").mkdir(parents=True)
+
+    sys.path.insert(0, str(REPO))
+    import jax
+
+    from conditional_ude_tpu.nn import chain
+
+    ude_net = chain(4, 2, "tanh", input_dims=1)
+    nn = np.asarray(ude_net.init_batch(jax.random.key(0), 2))
+    np.savez(art / "smoke" / "ude_neural_parameters.npz", nn_params=nn)
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "exp02_seeds.py"),
+         "--smoke", "--seeds", "7",
+         "--artifacts", str(art), "--results", str(res)],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    part = json.loads((res / "smoke" / "exp02_seed_7.json").read_text())
+    assert part["seed"] == 7
+    assert np.isfinite(part["test_sse_mean"])
+    assert part["ude_vs_cude"] is not None
+
+    # second synthetic partial so the aggregation has a spread to compute
+    other = dict(part, seed=8, test_sse_mean=part["test_sse_mean"] + 1.0)
+    (res / "smoke" / "exp02_seed_8.json").write_text(json.dumps(other))
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "exp02_seeds.py"),
+         "--smoke", "--merge", "--results", str(res)],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(
+        (res / "smoke" / "exp02_seeds_metrics.json").read_text())
+    assert summary["n_seeds"] == 2 and summary["seeds"] == [7, 8]
+    assert abs(summary["test_sse_mean"]["max"]
+               - summary["test_sse_mean"]["min"] - 1.0) < 1e-9
+    assert (res / "smoke" / "exp02_seeds.csv").exists()
+
+
+def test_exp_replicate_driver(tmp_path):
+    """The generic multi-seed replication driver must run a script across
+    seeds in isolated scratch dirs, aggregate every numeric metric leaf,
+    and be crash-resumable (cached seeds skipped on re-run)."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "exp_replicate.py"),
+         "--script", "exp00", "--seeds", "3", "4", "--smoke",
+         "--scratch", str(tmp_path / "scratch"),
+         "--results", str(tmp_path / "results")],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    rep = json.loads((tmp_path / "results" / "smoke"
+                      / "replicate_exp00_prepare_data.json").read_text())
+    assert rep["seeds"] == [3, 4]
+    assert rep["aggregate"], "no numeric leaves aggregated"
+    for stats in rep["aggregate"].values():
+        assert set(stats) == {"mean", "sd", "min", "max"}
+
+    # resumability: the second invocation must reuse the scratch metrics
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "exp_replicate.py"),
+         "--script", "exp00", "--seeds", "3", "4", "--smoke",
+         "--scratch", str(tmp_path / "scratch"),
+         "--results", str(tmp_path / "results")],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert out2.stderr.count("cached") == 2
