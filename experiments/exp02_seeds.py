@@ -42,6 +42,8 @@ DEFAULT_SEEDS = (11, 22, 33, 44, 55)
 AGGREGATED = (
     "objective_best", "train_sse_mean", "test_sse_mean", "test_sse_median",
     "spearman.first_phase", "spearman.age", "spearman.insulin_sensitivity",
+    "spearman_aligned.first_phase", "spearman_aligned.age",
+    "spearman_aligned.insulin_sensitivity",
     "ude_vs_cude.test_mse_cude_mean", "ude_vs_cude.cude_better_fraction",
     "train_seconds",
 )
@@ -132,8 +134,22 @@ def merge(args) -> None:
                  "run `--seeds <s>` first")
     rows = [json.loads(q.read_text()) for q in parts]
 
+    # β-orientation gauge alignment: the conditional parameter enters the
+    # model only through the NN input (conditional_production,
+    # ref src/c-peptide-models.jl:86-94), so training can converge to
+    # either monotone orientation of β — ALL β-vs-index correlations flip
+    # sign together between seeds while their magnitudes are stable.
+    # Align every seed to the reference's convention (first-phase ρ < 0)
+    # before aggregating, and record the per-seed orientation.
+    for r in rows:
+        s = -1.0 if r["spearman"]["first_phase"] > 0 else 1.0
+        r["beta_orientation"] = s
+        r["spearman_aligned"] = {k: s * v for k, v in r["spearman"].items()}
+
     summary: dict = {"n_seeds": len(rows),
-                     "seeds": [r["seed"] for r in rows]}
+                     "seeds": [r["seed"] for r in rows],
+                     "beta_orientations": [r["beta_orientation"]
+                                           for r in rows]}
     for key in AGGREGATED:
         vals = [v for v in (_lookup(r, key) for r in rows) if v is not None]
         if not vals:
