@@ -430,3 +430,41 @@ def scatter_compare(x, y, xlabel, ylabel, types=None, identity=True):
     ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     return fig
+
+
+def replication_strip(metric_rows, canonical=None, xlabel="value",
+                      xlim=None, refline=None):
+    """Across-seed replication dot strip (beyond-parity figure; no
+    reference counterpart — single-seed Julia runs cannot afford one).
+
+    ``metric_rows``: ordered ``{row label: per-seed values}``;
+    ``canonical``: optional ``{row label: single-run value}`` drawn as an
+    open black diamond.  Seed dots share one hue (seeds are exchangeable
+    replicates, not identities); mean ± sd is direct-labeled per row.
+    """
+    plt = _plt()
+    rows = list(metric_rows)
+    fig, ax = plt.subplots(figsize=(4.6, 0.75 + 0.55 * len(rows)))
+    if refline is not None:
+        ax.axvline(refline, color="0.8", lw=0.8, zorder=0)
+    for i, name in enumerate(rows):
+        vals = np.asarray(metric_rows[name], float)
+        y = len(rows) - 1 - i
+        ax.scatter(vals, np.full(vals.shape, y, float), s=22,
+                   color=COLORS["NGT"], alpha=0.85, zorder=3,
+                   label="seeds" if i == 0 else None)
+        if canonical and name in canonical:
+            ax.scatter([canonical[name]], [y], s=46, marker="D",
+                       facecolors="none", edgecolors="k", lw=1.2, zorder=4,
+                       label="canonical seed" if i == 0 else None)
+        ax.annotate(f"{vals.mean():.3f} ± {vals.std(ddof=1):.3f}",
+                    (0.99, y + 0.22), xycoords=("axes fraction", "data"),
+                    ha="right", fontsize=7, color="0.35")
+    ax.set_yticks(range(len(rows)))
+    ax.set_yticklabels(rows[::-1], fontsize=8)
+    ax.set_ylim(-0.6, len(rows) - 0.25)
+    if xlim is not None:
+        ax.set_xlim(*xlim)
+    ax.set_xlabel(xlabel, fontsize=8)
+    ax.legend(fontsize=7, loc="lower left", frameon=False)
+    return fig

@@ -786,6 +786,51 @@ def main():
     elif want("saem"):
         skip("saem section", f"{saem_path} missing (rerun exp06)")
 
+    # ----------------------------------------------------- replication
+    # beyond-parity: across-seed spread of the flagship pipeline
+    # (experiments/exp02_seeds.py; no reference counterpart)
+    seeds_csv = args.results / "exp02_seeds.csv"
+    if want("replication") and seeds_csv.exists():
+        import csv as _csv
+        import json as _json
+
+        with seeds_csv.open() as f:
+            srows = list(_csv.DictReader(f))
+        # gauge-align like the merge step: flip each seed to the
+        # reference convention (first-phase ρ < 0)
+        sgn = [-1.0 if float(r["spearman_first_phase"]) > 0 else 1.0
+               for r in srows]
+        canon = None
+        try:
+            m = _json.loads(
+                (args.results / "exp02_metrics.json").read_text())
+            canon_rho = {
+                "β vs first-phase ρ": m["spearman"]["first_phase"],
+                "β vs age ρ": m["spearman"]["age"],
+                "β vs ISI ρ": m["spearman"]["insulin_sensitivity"],
+            }
+            canon = {"test SSE (mean)": m["test_sse_mean"]}
+        except Exception:
+            canon_rho = None
+        emit(figures.replication_strip(
+            {"β vs first-phase ρ": [s * float(r["spearman_first_phase"])
+                                    for s, r in zip(sgn, srows)],
+             "β vs age ρ": [s * float(r["spearman_age"])
+                            for s, r in zip(sgn, srows)],
+             "β vs ISI ρ": [s * float(r["spearman_isi"])
+                            for s, r in zip(sgn, srows)]},
+            canonical=canon_rho, xlabel="Spearman ρ (gauge-aligned)",
+            xlim=(-1, 1), refline=0.0),
+            outdir, "replication_spearman.png")
+        emit(figures.replication_strip(
+            {"test SSE (mean)": [float(r["test_sse_mean"]) for r in srows],
+             "test SSE (median)": [float(r["test_sse_median"])
+                                   for r in srows]},
+            canonical=canon, xlabel="held-out error"),
+            outdir, "replication_sse.png")
+    elif want("replication"):
+        skip("replication section", f"{seeds_csv} missing (run exp02_seeds)")
+
     # merge with any previous manifest so partial --sections runs add to
     # the gallery record instead of replacing it
     manifest_path = args.results / "exp_figures_manifest.json"
