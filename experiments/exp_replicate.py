@@ -63,7 +63,7 @@ def run_seed(script: Path, seed: int, args, extra) -> dict:
     art = args.scratch / "artifacts" / tag
     res = args.scratch / "results" / tag
     sub = "smoke" if args.smoke else ""
-    done = sorted((res / sub).glob("*_metrics.json")) if res.exists() else []
+    done = sorted((res / sub).glob("*_metrics*.json")) if res.exists() else []
     if done and not args.retrain:
         print(f"[replicate] seed {seed}: cached {done[0].name}",
               file=sys.stderr)
@@ -76,7 +76,7 @@ def run_seed(script: Path, seed: int, args, extra) -> dict:
     proc = subprocess.run(cmd, cwd=HERE.parent, timeout=args.timeout)
     if proc.returncode != 0:
         sys.exit(f"seed {seed}: {script.stem} exited {proc.returncode}")
-    done = sorted((res / sub).glob("*_metrics.json"))
+    done = sorted((res / sub).glob("*_metrics*.json"))
     if not done:
         sys.exit(f"seed {seed}: no *_metrics.json under {res / sub}")
     return json.loads(done[0].read_text())
