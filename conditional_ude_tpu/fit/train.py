@@ -259,9 +259,23 @@ def train_conditional(
     # -- Adam stage (vmapped over restarts, bounded-runtime dispatches) -------
     import optax
 
-    def loss_tree(p):
+    # the cohort DATA crosses the refinement jit boundaries as traced
+    # operands (a closure-captured cohort is baked into the HLO as
+    # constants, so the persistent-compile-cache key would depend on the
+    # data bytes and every new cohort would repay the full compile); the
+    # static time grids re-attach inside the trace
+    from conditional_ude_tpu.models.cpeptide import (
+        cohort_dynamic,
+        cohort_times,
+        cohort_with_times,
+    )
+
+    dyn0 = cohort_dynamic(cohort)
+    times = cohort_times(cohort)
+
+    def loss_tree(p, cohort_):
         return population_sse(model, p["neural"], p["conditional"],
-                              cohort, **loss_kw)
+                              cohort_, **loss_kw)
 
     # fused value+grad: the Pallas affine-adjoint kernel replaces XLA
     # reverse-mode AD through the RK4 scan on every refinement evaluation
@@ -273,19 +287,23 @@ def train_conditional(
         fused_vg = fused_population_vg(model.net, cohort,
                                        substeps=cfg.substeps)
 
-    def tree_vg(pt):
-        f, gnn, gb = fused_vg(pt["neural"], pt["conditional"][:, 0])
+    def tree_vg(pt, dyn):
+        f, gnn, gb = fused_vg(pt["neural"], pt["conditional"][:, 0], dyn)
         return f, {"neural": gnn, "conditional": gb[:, None]}
 
-    def run_adam_chunk(nn, b, state, iters):
-        res = adam_minimize(loss_tree, {"neural": nn, "conditional": b},
+    def run_adam_chunk(nn, b, state, dyn, iters):
+        cohort_ = cohort_with_times(dyn, times)
+        res = adam_minimize(lambda p: loss_tree(p, cohort_),
+                            {"neural": nn, "conditional": b},
                             iters=iters, lr=cfg.adam_lr, opt_state=state,
-                            fun_and_grad=tree_vg if fused_vg else None)
+                            fun_and_grad=(lambda p: tree_vg(p, dyn))
+                            if fused_vg else None)
         return (res.x["neural"], res.x["conditional"], res.opt_state,
                 res.loss_trace)
 
-    adam_step = jax.jit(jax.vmap(run_adam_chunk, in_axes=(0, 0, 0, None)),
-                        static_argnums=3)
+    adam_step = jax.jit(jax.vmap(run_adam_chunk,
+                                 in_axes=(0, 0, 0, None, None)),
+                        static_argnums=4)
     state = jax.vmap(lambda nn, b: optax.adam(cfg.adam_lr).init(
         {"neural": nn, "conditional": b}))(nn0, b0)
     nn1, b1 = nn0, b0
@@ -297,7 +315,7 @@ def train_conditional(
     # total; no overrun on non-divisible budgets)
     while done_iters < cfg.adam_iters:
         step = min(max(1, cfg.dispatch_chunk), cfg.adam_iters - done_iters)
-        nn1, b1, state, tr = adam_step(nn1, b1, state, step)
+        nn1, b1, state, tr = adam_step(nn1, b1, state, dyn0, step)
         jax.block_until_ready(b1)
         trace_parts.append(tr)
         done_iters += step
@@ -309,17 +327,18 @@ def train_conditional(
     # size never changes the optimization trajectory) -------------------------
     p_nn = nn1.shape[-1]
 
-    def flat_vg(x):
-        f, gnn, gb = fused_vg(x[:p_nn], x[p_nn:])
-        return f, jnp.concatenate([gnn, gb])
-
-    def run_lbfgs_chunk(nn, b, state, iters):
+    def run_lbfgs_chunk(nn, b, state, dyn, iters):
         x0 = jnp.concatenate([nn, b.reshape(-1)])
+        cohort_ = cohort_with_times(dyn, times)
 
         def flat_loss(x):
             return population_sse(model, x[:p_nn],
                                   x[p_nn:].reshape(n, cfg.n_conditional),
-                                  cohort, **loss_kw)
+                                  cohort_, **loss_kw)
+
+        def flat_vg(x):
+            f, gnn, gb = fused_vg(x[:p_nn], x[p_nn:], dyn)
+            return f, jnp.concatenate([gnn, gb])
 
         res = lbfgs_minimize(flat_loss, x0, max_iters=iters,
                              fun_and_grad=flat_vg if fused_vg else None,
@@ -327,21 +346,25 @@ def train_conditional(
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
                 res.fval, res.state)
 
-    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk, in_axes=(0, 0, 0, None)),
-                         static_argnums=3)
+    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk,
+                                  in_axes=(0, 0, 0, None, None)),
+                         static_argnums=4)
     nn2, b2, objs, lb_state = nn1, b1, None, None
     done_iters = 0
     while done_iters < cfg.lbfgs_iters:
         step = min(max(1, cfg.dispatch_chunk), cfg.lbfgs_iters - done_iters)
-        nn2, b2, objs, lb_state = lbfgs_step(nn2, b2, lb_state, step)
+        nn2, b2, objs, lb_state = lbfgs_step(nn2, b2, lb_state, dyn0, step)
         jax.block_until_ready(objs)
         done_iters += step
 
     if objs is None:
         # lbfgs_iters=0: objectives from one batched loss evaluation
-        objs = jax.jit(jax.vmap(
-            lambda nn, b: population_sse(model, nn, b, cohort,
-                                         **loss_kw)))(nn2, b2)
+        def _eval_final(nn, b, dyn):
+            cohort_ = cohort_with_times(dyn, times)
+            return jax.vmap(lambda nn_, b_: population_sse(
+                model, nn_, b_, cohort_, **loss_kw))(nn, b)
+
+        objs = jax.jit(_eval_final)(nn2, b2, dyn0)
 
     _t3 = time.perf_counter()
     if cfg.final_eval_tsit5 and cfg.solver != "tsit5":
@@ -357,11 +380,13 @@ def train_conditional(
                 model.net, nn2, b2[:, :, 0], cohort,
                 max_steps=cfg.max_steps)
         else:
-            objs = jax.jit(jax.vmap(
-                lambda nn, b: population_sse(model, nn, b, cohort,
-                                             solver="tsit5",
-                                             max_steps=cfg.max_steps)))(
-                nn2, b2)
+            def _eval_tsit5(nn, b, dyn):
+                cohort_ = cohort_with_times(dyn, times)
+                return jax.vmap(lambda nn_, b_: population_sse(
+                    model, nn_, b_, cohort_, solver="tsit5",
+                    max_steps=cfg.max_steps))(nn, b)
+
+            objs = jax.jit(_eval_tsit5)(nn2, b2, dyn0)
 
     jax.block_until_ready(objs)
     _t4 = time.perf_counter()

@@ -109,6 +109,38 @@ def build_cohort(glucose, timepoints, cpeptide, ages, t2dm) -> Cohort:
     return Cohort(individuals=inds, cpeptide=cpeptide, timepoints=timepoints)
 
 
+def cohort_dynamic(cohort: Cohort) -> Cohort:
+    """Strip the static time grids so the DATA leaves can cross a ``jit``
+    boundary as traced operands.
+
+    Closure-capturing a cohort embeds its arrays as HLO constants, which
+    makes the compiled program — and its persistent-compile-cache key —
+    depend on the data bytes: every new cohort of the same shape then
+    repays the full compile.  The time grids are measurement-design
+    constants (identical across cohorts of one protocol) and several
+    kernels require them concrete (lockstep stepping,
+    ``ops/pallas_rk4.py``), so they stay closure-side; re-attach with
+    :func:`cohort_with_times` inside the traced function.
+    """
+    return cohort._replace(
+        timepoints=None,
+        individuals=cohort.individuals._replace(glucose_t=None))
+
+
+def cohort_times(cohort: Cohort) -> tuple:
+    """Concrete ``(timepoints, glucose_t)`` for :func:`cohort_with_times`."""
+    return (np.asarray(cohort.timepoints),
+            np.asarray(cohort.individuals.glucose_t))
+
+
+def cohort_with_times(dyn: Cohort, times: tuple) -> Cohort:
+    """Re-attach concrete time grids to a :func:`cohort_dynamic` pytree."""
+    tp, gt = times
+    return dyn._replace(
+        timepoints=tp,
+        individuals=dyn.individuals._replace(glucose_t=gt))
+
+
 # -- production heads ---------------------------------------------------------
 
 ProductionFn = Callable[[jax.Array, Any, Individual], jax.Array]

@@ -390,24 +390,40 @@ def fused_population_vg(net: MLP, cohort, substeps: int = 8,
     call — ``jax.custom_batching.custom_vmap`` supplies exactly that seam:
     the unbatched path launches with a single lane, and the vmap rule
     launches the whole restart batch.
+
+    The returned callable is ``vg(nn, b, dyn)`` where ``dyn`` is a
+    :func:`~conditional_ude_tpu.models.cpeptide.cohort_dynamic` pytree:
+    the build-time ``cohort`` supplies only the STATIC time grids (the
+    kernel's lockstep stepping needs them concrete), while the data
+    arrays flow through ``dyn`` as traced operands — so a jitted caller's
+    compiled program (and persistent-cache key) is independent of the
+    cohort's data bytes.
     """
     from jax.custom_batching import custom_vmap
 
+    from conditional_ude_tpu.models.cpeptide import (
+        cohort_times,
+        cohort_with_times,
+    )
+
+    times = cohort_times(cohort)
+
     @custom_vmap
-    def vg(nn, b):
+    def vg(nn, b, dyn):
         f, gnn, gb = population_sse_and_grad_pallas(
-            net, nn[None], b[None], cohort, substeps, interpret)
+            net, nn[None], b[None], cohort_with_times(dyn, times),
+            substeps, interpret)
         return f[0], gnn[0], gb[0]
 
     @vg.def_vmap
-    def _rule(axis_size, in_batched, nn, b):
-        nn_b, b_b = in_batched
+    def _rule(axis_size, in_batched, nn, b, dyn):
+        nn_b, b_b = in_batched[0], in_batched[1]   # dyn is never batched
         if not nn_b:
             nn = jnp.broadcast_to(nn[None], (axis_size,) + nn.shape)
         if not b_b:
             b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
         f, gnn, gb = population_sse_and_grad_pallas(
-            net, nn, b, cohort, substeps, interpret)
+            net, nn, b, cohort_with_times(dyn, times), substeps, interpret)
         return (f, gnn, gb), (True, True, True)
 
     return vg

@@ -18,7 +18,8 @@ import numpy as np
 import pytest
 
 from conditional_ude_tpu.fit.losses import population_sse
-from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
+from conditional_ude_tpu.models.cpeptide import CPeptideModel, \
+    build_cohort, cohort_dynamic
 from conditional_ude_tpu.nn import chain
 from conditional_ude_tpu.ops.pallas_grad import population_sse_and_grad_pallas
 
@@ -134,13 +135,14 @@ def test_fused_vg_through_vmapped_optimizers(setup):
     betas = jnp.asarray(
         np.random.default_rng(5).uniform(-2, 0, (G, n)), jnp.float32)
     vg = fused_population_vg(net, cohort, substeps=SUBSTEPS, interpret=True)
+    dyn = cohort_dynamic(cohort)
 
     def flat_loss(x):
         return population_sse(model, x[:p_nn], x[p_nn:, None], cohort,
                               solver="rk4", substeps=SUBSTEPS)
 
     def flat_vg(x):
-        f, gnn, gb = vg(x[:p_nn], x[p_nn:])
+        f, gnn, gb = vg(x[:p_nn], x[p_nn:], dyn)
         return f, jnp.concatenate([gnn, gb])
 
     x0 = jnp.concatenate([nn, betas], axis=1)
@@ -153,7 +155,7 @@ def test_fused_vg_through_vmapped_optimizers(setup):
     np.testing.assert_allclose(f_fused, f_xla, rtol=0.05)
 
     def tree_vg(pt):
-        f, gnn, gb = vg(pt["neural"], pt["conditional"])
+        f, gnn, gb = vg(pt["neural"], pt["conditional"], dyn)
         return f, {"neural": gnn, "conditional": gb}
 
     def tree_loss(pt):
@@ -166,3 +168,32 @@ def test_fused_vg_through_vmapped_optimizers(setup):
     trace = np.asarray(res)
     assert np.isfinite(trace).all()
     assert (trace[:, -1] <= trace[:, 0]).all()
+
+
+def test_fused_vg_program_is_data_polymorphic(setup):
+    """The jitted refinement program must not bake the cohort's DATA into
+    the HLO: two same-shape cohorts with different data must lower to
+    IDENTICAL modules (otherwise the persistent compile cache misses on
+    every new cohort and each seed/cohort repays the full compile)."""
+    from conditional_ude_tpu.ops.pallas_grad import fused_population_vg
+
+    cohort, net, model = setup
+    rng = np.random.default_rng(99)
+    glucose2 = np.asarray(cohort.individuals.glucose) + \
+        rng.uniform(0.1, 0.5, cohort.individuals.glucose.shape)
+    cpep2 = np.asarray(cohort.cpeptide) + \
+        rng.uniform(0.01, 0.1, cohort.cpeptide.shape)
+    ages = np.asarray(cohort.individuals.age)
+    cohort2 = build_cohort(glucose2, cohort.timepoints, cpep2, ages,
+                           np.zeros(cohort.n, bool))
+
+    nn = net.init_batch(jax.random.key(1), G)[0]
+    b = jnp.zeros((cohort.n,), jnp.float32)
+
+    texts = []
+    for c in (cohort, cohort2):
+        vg = fused_population_vg(net, c, substeps=SUBSTEPS, interpret=True)
+        lowered = jax.jit(vg).lower(nn, b, cohort_dynamic(c))
+        texts.append(lowered.as_text())
+    assert texts[0] == texts[1], \
+        "cohort data leaked into the lowered refinement program"
