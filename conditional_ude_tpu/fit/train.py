@@ -35,7 +35,14 @@ from conditional_ude_tpu.fit.losses import (
     sse_sigma,
 )
 from conditional_ude_tpu.fit.optim import adam_minimize
-from conditional_ude_tpu.models.cpeptide import Cohort, CPeptideModel, Individual
+from conditional_ude_tpu.models.cpeptide import (
+    Cohort,
+    CPeptideModel,
+    Individual,
+    cohort_dynamic,
+    cohort_times,
+    cohort_with_times,
+)
 from conditional_ude_tpu.ops.lbfgs import lbfgs_minimize
 from conditional_ude_tpu.parallel.mesh import (
     pad_to_multiple,
@@ -90,23 +97,32 @@ class TrainResult(NamedTuple):
     loss_traces: jax.Array    # [R, adam_iters]
 
 
-def _chunked_map(fn, xs, chunk: int):
+def _chunked_map(fn, xs, chunk: int, extra=None):
     """``lax.map``-style evaluation in bounded-memory chunks (host loop).
 
     A partial tail chunk is padded up to the chunk size (repeating the last
     element) so it reuses the full chunk's compiled program instead of
     triggering a second compile — compiles dominate wall-clock through the
     TPU tunnel.
+
+    ``extra`` is an optional unbatched pytree passed to ``fn(x, extra)`` as
+    a traced operand — callers thread per-cohort DATA through it instead of
+    closure-capturing it, so the compiled program (and its persistent-cache
+    key) stays independent of the data bytes.
     """
     n = jax.tree.leaves(xs)[0].shape[0]
-    jfn = jax.jit(jax.vmap(fn))   # one wrapper → one compile per shape
+    if extra is None:
+        jfn = jax.jit(jax.vmap(fn))   # one wrapper → one compile per shape
+    else:
+        jfn = jax.jit(jax.vmap(fn, in_axes=(0, None)))
     outs = []
     for i in range(0, n, chunk):
         part = jax.tree.map(lambda a: a[i : i + chunk], xs)
         m = jax.tree.leaves(part)[0].shape[0]
         if m < chunk and i > 0:
             part = jax.tree.map(lambda a: pad_to_multiple(a, chunk), part)
-        outs.append(jfn(part)[:m])
+        outs.append(jfn(part)[:m] if extra is None
+                    else jfn(part, extra)[:m])
     return jnp.concatenate(outs)
 
 
@@ -188,6 +204,14 @@ def train_conditional(
     loss_kw = dict(solver=cfg.solver, max_steps=cfg.max_steps,
                    substeps=cfg.substeps)
 
+    # the cohort DATA crosses every jit boundary below as traced operands
+    # (a closure-captured cohort is baked into the HLO as constants, so the
+    # persistent-compile-cache key would depend on the data bytes and every
+    # new cohort of the same shape would repay the full compile); the
+    # static time grids re-attach inside each trace
+    dyn0 = cohort_dynamic(cohort)
+    times = cohort_times(cohort)
+
     pallas_ok = _pallas_eligible(model, cfg)
     use_pallas = cfg.use_pallas
     if use_pallas is None:
@@ -228,12 +252,13 @@ def train_conditional(
                 substeps=cfg.substeps)[:m])
         screen = jnp.concatenate(parts)                            # [G]
     else:
-        def screen_loss(p):
+        def screen_loss(p, dyn):
             nn, b = p
-            return population_sse(model, nn, b, cohort, **loss_kw)
+            return population_sse(model, nn, b,
+                                  cohort_with_times(dyn, times), **loss_kw)
 
         screen = _chunked_map(screen_loss, (nn_inits, betas_init),
-                              cfg.screen_chunk)                    # [G]
+                              cfg.screen_chunk, extra=dyn0)        # [G]
 
     jax.block_until_ready(screen)
     _t1 = time.perf_counter()
@@ -258,20 +283,6 @@ def train_conditional(
 
     # -- Adam stage (vmapped over restarts, bounded-runtime dispatches) -------
     import optax
-
-    # the cohort DATA crosses the refinement jit boundaries as traced
-    # operands (a closure-captured cohort is baked into the HLO as
-    # constants, so the persistent-compile-cache key would depend on the
-    # data bytes and every new cohort would repay the full compile); the
-    # static time grids re-attach inside the trace
-    from conditional_ude_tpu.models.cpeptide import (
-        cohort_dynamic,
-        cohort_times,
-        cohort_with_times,
-    )
-
-    dyn0 = cohort_dynamic(cohort)
-    times = cohort_times(cohort)
 
     def loss_tree(p, cohort_):
         return population_sse(model, p["neural"], p["conditional"],
