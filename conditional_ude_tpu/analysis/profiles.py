@@ -142,20 +142,25 @@ def cohort_beta_profiles(
         return Profile(grid=grid, values=values,
                        minimum=jnp.min(values, axis=1))
 
-    def at_beta(beta, c, ind, data, s):
+    # nn_params and the cohort arrays are jit OPERANDS (not closure
+    # captures): a captured array is baked into the HLO as a constant, so
+    # every new fit/cohort of the same shape would repay the compile
+    # instead of hitting the in-process and persistent caches
+    def at_beta(beta, nn_p, c, ind, data, s):
         kw = dict(solver="rk4", substeps=8)   # throughput default
         kw.update(solver_kwargs)
-        err = sse(model, {"neural": nn_params, "conditional": beta + c},
+        err = sse(model, {"neural": nn_p, "conditional": beta + c},
                   ind, cohort.timepoints, data, **kw)
         return err / (2.0 * s**2)
 
     profile_chunk = jax.jit(jax.vmap(            # over individuals
-        jax.vmap(at_beta, in_axes=(0, None, None, None, None)),  # over grid
-        in_axes=(None, 0, 0, 0, 0)))
+        jax.vmap(at_beta,
+                 in_axes=(0, None, None, None, None, None)),     # over grid
+        in_axes=(None, None, 0, 0, 0, 0)))
 
     parts = []
     for i in range(0, steps, chunk):
-        parts.append(profile_chunk(grid[i:i + chunk], ctr,
+        parts.append(profile_chunk(grid[i:i + chunk], nn_params, ctr,
                                    cohort.individuals,
                                    cohort.cpeptide, sig))
     values = jnp.concatenate(parts, axis=1)      # [N, S]

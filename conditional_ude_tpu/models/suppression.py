@@ -239,16 +239,21 @@ def fit_suppression_sweep(
     nn_inits = net.init_batch(k_nn, cfg.initial_space)
     theta_inits = jax.random.normal(k_th, (cfg.initial_space, n))
 
-    def err_pen(nn, th):
-        e = suppression_loss(net, nn, th, data, tp, 0.0,
+    # the observation arrays ride through every jit boundary as traced
+    # operands — a closure-captured dataset is baked into the HLO as
+    # constants, so each replication seed's synthetic data would repay
+    # the full compile instead of hitting the persistent cache (tp is the
+    # static measurement grid and stays closure-side by design)
+    def err_pen(nn, th, d):
+        e = suppression_loss(net, nn, th, d, tp, 0.0,
                              max_steps=cfg.max_steps)
         return e, jnp.sum(nn**2)
 
-    screen = jax.jit(jax.vmap(err_pen))
+    screen = jax.jit(jax.vmap(err_pen, in_axes=(0, 0, None)))
     errs, pens = [], []
     for i in range(0, cfg.initial_space, cfg.screen_chunk):
         e, p = screen(nn_inits[i:i + cfg.screen_chunk],
-                      theta_inits[i:i + cfg.screen_chunk])
+                      theta_inits[i:i + cfg.screen_chunk], data)
         errs.append(e)
         pens.append(p)
     errs, pens = jnp.concatenate(errs), jnp.concatenate(pens)
@@ -264,22 +269,23 @@ def fit_suppression_sweep(
     lanes = flat.shape[0]
     p_nn = nn_inits.shape[-1]
 
-    def loss(nn, th, lam):
-        return suppression_loss(net, nn, th, data, tp, lam,
+    def loss(nn, th, lam, d):
+        return suppression_loss(net, nn, th, d, tp, lam,
                                 max_steps=cfg.max_steps)
 
     # keep per-dispatch work at the single-λ level the axon worker
     # tolerates: scale the iteration chunk down by the lane blow-up
     chunk = max(1, cfg.dispatch_chunk * cfg.select_best_n // lanes)
 
-    def adam_chunk(nn, th, lam, state, iters):
-        res = adam_minimize(lambda p: loss(p["nn"], p["th"], lam),
+    def adam_chunk(nn, th, lam, state, d, iters):
+        res = adam_minimize(lambda p: loss(p["nn"], p["th"], lam, d),
                             {"nn": nn, "th": th},
                             iters=iters, lr=cfg.adam_lr, opt_state=state)
         return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
 
-    run_adam = jax.jit(jax.vmap(adam_chunk, in_axes=(0, 0, 0, 0, None)),
-                       static_argnums=4)
+    run_adam = jax.jit(jax.vmap(adam_chunk,
+                                in_axes=(0, 0, 0, 0, None, None)),
+                       static_argnums=5)
     state = jax.vmap(
         lambda nn, th: optax.adam(cfg.adam_lr).init({"nn": nn, "th": th})
     )(nn_c, th_c)
@@ -287,7 +293,8 @@ def fit_suppression_sweep(
     done = 0
     while done < cfg.adam_iters:
         step = min(chunk, cfg.adam_iters - done)
-        nn_c, th_c, state, tr = run_adam(nn_c, th_c, lam_lane, state, step)
+        nn_c, th_c, state, tr = run_adam(nn_c, th_c, lam_lane, state,
+                                         data, step)
         jax.block_until_ready(th_c)
         traces.append(tr)
         done += step
@@ -297,25 +304,27 @@ def fit_suppression_sweep(
     # so the dispatch-chunk size — scaled down here to keep per-dispatch
     # runtime at the level the axon worker tolerates — never changes the
     # optimization trajectory
-    def lbfgs_chunk(nn, th, lam, state, iters):
+    def lbfgs_chunk(nn, th, lam, state, d, iters):
         x0 = jnp.concatenate([nn, th])
-        res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:], lam), x0,
-                             max_iters=iters, init_state=state)
+        res = lbfgs_minimize(lambda x: loss(x[:p_nn], x[p_nn:], lam, d),
+                             x0, max_iters=iters, init_state=state)
         return res.x[:p_nn], res.x[p_nn:], res.fval, res.state
 
-    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk, in_axes=(0, 0, 0, 0, None)),
-                        static_argnums=4)
+    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk,
+                                 in_axes=(0, 0, 0, 0, None, None)),
+                        static_argnums=5)
     objs = None
     lb_state = None
     done = 0
     while done < cfg.lbfgs_iters:
         step = min(chunk, cfg.lbfgs_iters - done)
         nn_c, th_c, objs, lb_state = run_lbfgs(nn_c, th_c, lam_lane,
-                                               lb_state, step)
+                                               lb_state, data, step)
         jax.block_until_ready(objs)
         done += step
     if objs is None:
-        objs = jax.jit(jax.vmap(loss))(nn_c, th_c, lam_lane)
+        objs = jax.jit(jax.vmap(loss, in_axes=(0, 0, 0, None)))(
+            nn_c, th_c, lam_lane, data)
 
     def unflat(a):
         return a.reshape(n_lam, cfg.select_best_n, *a.shape[1:])
@@ -375,24 +384,27 @@ def validate_suppression(
     tp = jnp.asarray(timepoints, jnp.float32)
     chunk = max(1, min(chunk, lbfgs_iters))
 
+    # data / theta_inits ride as jit operands in the batched wrappers too
+    # (closure-captured arrays become HLO constants and defeat the compile
+    # caches across replication seeds); tp is the static measurement grid
     batched = nn_params.ndim == 2
     if batched:
         best = jax.jit(jax.vmap(
-            lambda nn: _validate_best_init(net, nn, data, tp, theta_inits)))(
-            nn_params)
+            lambda nn, d, th_i: _validate_best_init(net, nn, d, tp, th_i),
+            in_axes=(0, None, None)))(nn_params, data, theta_inits)
         step = jax.jit(jax.vmap(
-            lambda nn, th, st: _validate_lbfgs_chunk(net, nn, th, data, tp,
-                                                     chunk, st),
-        ), static_argnums=())
+            lambda nn, th, st, d: _validate_lbfgs_chunk(net, nn, th, d, tp,
+                                                        chunk, st),
+            in_axes=(0, 0, 0, None)))
     else:
         best = _validate_best_init(net, nn_params, data, tp, theta_inits)
-        step = lambda nn, th, st: _validate_lbfgs_chunk(net, nn, th, data,  # noqa: E731
-                                                        tp, chunk, st)
+        step = lambda nn, th, st, d: _validate_lbfgs_chunk(net, nn, th, d,  # noqa: E731
+                                                           tp, chunk, st)
 
     theta, obj, st = best, None, None
     done = 0
     while done < lbfgs_iters:
-        theta, obj, st = step(nn_params, theta, st)
+        theta, obj, st = step(nn_params, theta, st, data)
         jax.block_until_ready(obj)
         done += chunk
     return theta, obj
@@ -463,40 +475,45 @@ def validate_suppression_sigma_batch(
     data = jnp.asarray(data, jnp.float32)
     tp = jnp.asarray(timepoints, jnp.float32)
 
+    # nn_params / data / theta_inits are jit OPERANDS so each replication
+    # seed's fit and fresh test data reuse the compiled programs (a
+    # closure-captured array is an HLO constant and defeats both the
+    # in-process and persistent caches); tp is the static measurement grid
     @jax.jit
-    def screen(d):
+    def screen(d, nn_p, th_inits):
         def one(d_one):
-            nll = _sigma_nll(net, nn_params, d_one, tp)
+            nll = _sigma_nll(net, nn_p, d_one, tp)
 
             def init_loss(th):
                 return nll(jnp.concatenate([th[None], jnp.ones(3)]))
 
-            losses = jax.vmap(init_loss)(theta_inits)
+            losses = jax.vmap(init_loss)(th_inits)
             best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses,
                                         jnp.inf))
-            return jnp.concatenate([theta_inits[best][None], jnp.ones(3)])
+            return jnp.concatenate([th_inits[best][None], jnp.ones(3)])
 
         return jax.vmap(one)(d)
 
-    @partial(jax.jit, static_argnums=1)
-    def refine(x0s, iters, state):
+    @partial(jax.jit, static_argnums=2)
+    def refine(x0s, d, iters, state, nn_p):
         def one(x0, d_one, st):
-            res = lbfgs_minimize(_sigma_nll(net, nn_params, d_one, tp), x0,
+            res = lbfgs_minimize(_sigma_nll(net, nn_p, d_one, tp), x0,
                                  max_iters=iters, init_state=st)
             return res.x, res.fval, res.state
 
-        return jax.vmap(one)(x0s, data, state)
+        return jax.vmap(one)(x0s, d, state)
 
-    xs = screen(data)
+    xs = screen(data, nn_params, theta_inits)
     nlls = None
     st = None
     done = 0
     while done < lbfgs_iters:
         step = min(max(1, dispatch_chunk), lbfgs_iters - done)
-        xs, nlls, st = refine(xs, step, st)
+        xs, nlls, st = refine(xs, data, step, st, nn_params)
         jax.block_until_ready(nlls)
         done += step
     if nlls is None:
-        nlls = jax.vmap(lambda x, d: _sigma_nll(net, nn_params, d, tp)(x))(
-            xs, data)
+        nlls = jax.jit(jax.vmap(
+            lambda x, d, nn_p: _sigma_nll(net, nn_p, d, tp)(x),
+            in_axes=(0, 0, None)))(xs, data, nn_params)
     return xs, nlls
