@@ -560,14 +560,17 @@ def evaluate_model(
                           axis=1)  # [R]
     big = 1e30
 
-    def per_candidate(nn, b0):
-        betas, objs = fit_betas(model, nn, cohort, initial_beta=b0,
+    # the validation cohort is a jit operand (not a closure capture) so a
+    # new same-shape cohort reuses the compiled selection program
+    def per_candidate(nn, b0, cohort_):
+        betas, objs = fit_betas(model, nn, cohort_, initial_beta=b0,
                                 bounds=(-big, big), lbfgs_iters=lbfgs_iters,
                                 solver=solver, max_steps=max_steps,
                                 substeps=substeps)
         return objs
 
-    return jax.jit(jax.vmap(per_candidate))(candidates_nn, init_betas)
+    return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, None)))(
+        candidates_nn, init_betas, cohort)
 
 
 def select_best(objectives: jax.Array) -> int:
