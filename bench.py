@@ -55,7 +55,29 @@ def build_cohort_arrays():
                         rng.uniform(size=n) > 0.7)
 
 
+def _warmup_watchdog(done: dict, timeout_s: int) -> None:
+    """Hard-exit instead of hanging forever when the axon TPU tunnel is
+    wedged (observed: backend init / the first device sync blocking
+    indefinitely at 0% CPU).  The budget covers a normal cold start:
+    backend init + first compiles (~2-4 min) + the environmental
+    first-sync stall (up to ~400 s)."""
+    import os
+    import threading
+
+    def bark():
+        time.sleep(timeout_s)
+        if not done.get("ok"):
+            log(f"FATAL: warmup made no progress within {timeout_s}s "
+                "(axon TPU tunnel wedged?) — refusing to hang")
+            os._exit(1)
+
+    threading.Thread(target=bark, daemon=True).start()
+
+
 def main():
+    _alive = {}
+    _warmup_watchdog(_alive, timeout_s=900)
+
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +126,7 @@ def main():
             if attempt == 1:
                 raise
             time.sleep(20)
+    _alive["ok"] = True
     finite = int(np.isfinite(np.asarray(out)).sum())
     log(f"warmup done, {finite}/{G} finite lanes")
 
