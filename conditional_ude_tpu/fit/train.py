@@ -433,26 +433,39 @@ def train_ude(
     used on the mean train curve by ``c-peptide/01-non-conditional.jl``)."""
     loss_kw = dict(solver=solver, max_steps=max_steps, substeps=substeps)
 
-    def loss_nn(nn):
-        return sse(model, {"neural": nn}, ind, timepoints, data, **loss_kw)
+    # the series DATA rides through the jit boundaries as traced operands
+    # (closure-captured arrays bake into the HLO as constants and defeat
+    # the compile caches across series); the glucose time grid is a static
+    # measurement-design constant and stays closure-side
+    glucose_t = np.asarray(ind.glucose_t)
+    ind_dyn = ind._replace(glucose_t=None)
+    data = jnp.asarray(data, jnp.float32)
 
+    def loss_nn(nn, ex):
+        ind_, data_ = ex
+        return sse(model, {"neural": nn}, ind_._replace(glucose_t=glucose_t),
+                   timepoints, data_, **loss_kw)
+
+    extra = (ind_dyn, data)
     nn_inits = model.net.init_batch(key, initial_guesses)
-    screen = _chunked_map(loss_nn, nn_inits, screen_chunk)
+    screen = _chunked_map(loss_nn, nn_inits, screen_chunk, extra=extra)
     top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))
     nn0 = nn_inits[top[:selected_initials]]
 
     # two separate dispatches (adam, then lbfgs) keep program runtimes
     # bounded for the axon tunnel
     nn1 = jax.jit(jax.vmap(
-        lambda nn: adam_minimize(loss_nn, nn, iters=adam_iters,
-                                 lr=adam_lr).x))(nn0)
+        lambda nn, ex: adam_minimize(lambda p: loss_nn(p, ex), nn,
+                                     iters=adam_iters, lr=adam_lr).x,
+        in_axes=(0, None)))(nn0, extra)
     jax.block_until_ready(nn1)
 
-    def refine(nn):
-        res2 = lbfgs_minimize(loss_nn, nn, max_iters=lbfgs_iters)
+    def refine(nn, ex):
+        res2 = lbfgs_minimize(lambda p: loss_nn(p, ex), nn,
+                              max_iters=lbfgs_iters)
         return res2.x, res2.fval
 
-    nn_fit, objs = jax.jit(jax.vmap(refine))(nn1)
+    nn_fit, objs = jax.jit(jax.vmap(refine, in_axes=(0, None)))(nn1, extra)
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return nn_fit[order], objs[order], screen
 

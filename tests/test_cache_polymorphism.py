@@ -81,6 +81,24 @@ def test_train_conditional_is_data_polymorphic(cache_dir):
     _assert_second_run_hits_cache(run, cache_dir)
 
 
+def test_train_ude_is_data_polymorphic(cache_dir):
+    from conditional_ude_tpu.fit.train import train_ude
+
+    net = chain(3, 2, "tanh", input_dims=1)
+    model = CPeptideModel(kind="ude", net=net)
+
+    def run(seed):
+        cohort = _cohort(seed, n=1)
+        nn_fit, objs, _ = train_ude(
+            model, cohort.individual(0), cohort.timepoints,
+            cohort.cpeptide[0], jax.random.key(0), initial_guesses=8,
+            selected_initials=2, adam_iters=4, lbfgs_iters=4,
+            max_steps=64, screen_chunk=8)
+        jax.block_until_ready(objs)
+
+    _assert_second_run_hits_cache(run, cache_dir)
+
+
 def test_profiles_are_data_polymorphic(cache_dir):
     from conditional_ude_tpu.analysis.profiles import cohort_beta_profiles
 
