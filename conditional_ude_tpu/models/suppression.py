@@ -186,6 +186,7 @@ def fit_suppression(
     key: jax.Array,
     lam: float = 0.0,
     config: SuppressionFitConfig = SuppressionFitConfig(),
+    mesh=None,
 ) -> SuppressionFit:
     """Joint (NN, θ) multi-start fit (reference ``fit_suppression_model``).
 
@@ -195,7 +196,8 @@ def fit_suppression(
     asserts the equivalence), so there is only ONE refinement pipeline to
     maintain."""
     res = fit_suppression_sweep(net, data, timepoints, key,
-                                jnp.asarray([lam], jnp.float32), config)
+                                jnp.asarray([lam], jnp.float32), config,
+                                mesh=mesh)
     return SuppressionFit(*(a[0] for a in res))
 
 
@@ -206,6 +208,7 @@ def fit_suppression_sweep(
     key: jax.Array,
     lambdas,
     config: SuppressionFitConfig = SuppressionFitConfig(),
+    mesh=None,
 ) -> SuppressionFit:
     """The whole λ-sweep as ONE batched program (TPU-first replacement for
     the reference's one-process-per-λ driver, ``suppression/suppression.jl:39``).
@@ -227,6 +230,13 @@ def fit_suppression_sweep(
     per-λ trajectory.  Returns a
     ``SuppressionFit`` with a leading λ axis on every field
     (``nn_params[L, R, P]`` …), each λ's restarts sorted best-first.
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``"restarts"`` axis) the
+    screening inits and the flattened (λ × restart) refinement lanes shard
+    over that axis — lanes are independent, so the sweep scales
+    near-linearly across chips with no collective but the host-side top-k.
+    Lane padding (repeating the last lane up to the axis size) is sliced
+    away before results assemble, so the mesh never changes the numbers.
     """
     cfg = config
     lambdas = jnp.asarray(lambdas, jnp.float32)          # [L]
@@ -235,9 +245,23 @@ def fit_suppression_sweep(
     data = jnp.asarray(data, jnp.float32)
     tp = jnp.asarray(timepoints, jnp.float32)
 
+    r_size = None
+    if mesh is not None and "restarts" in mesh.shape:
+        from conditional_ude_tpu.parallel.mesh import (
+            pad_to_multiple,
+            shard_leading,
+        )
+
+        r_size = mesh.shape["restarts"]
+
     k_nn, k_th = jax.random.split(key)
     nn_inits = net.init_batch(k_nn, cfg.initial_space)
     theta_inits = jax.random.normal(k_th, (cfg.initial_space, n))
+    g_orig = cfg.initial_space
+    if r_size:
+        nn_inits = shard_leading(pad_to_multiple(nn_inits, r_size), mesh)
+        theta_inits = shard_leading(pad_to_multiple(theta_inits, r_size),
+                                    mesh)
 
     # the observation arrays ride through every jit boundary as traced
     # operands — a closure-captured dataset is baked into the HLO as
@@ -251,12 +275,16 @@ def fit_suppression_sweep(
 
     screen = jax.jit(jax.vmap(err_pen, in_axes=(0, 0, None)))
     errs, pens = [], []
-    for i in range(0, cfg.initial_space, cfg.screen_chunk):
+    for i in range(0, nn_inits.shape[0], cfg.screen_chunk):
         e, p = screen(nn_inits[i:i + cfg.screen_chunk],
                       theta_inits[i:i + cfg.screen_chunk], data)
         errs.append(e)
         pens.append(p)
     errs, pens = jnp.concatenate(errs), jnp.concatenate(pens)
+    if errs.shape[0] != g_orig:
+        # mesh-padded lanes replicate the last real init — mask them out
+        # so duplicates cannot occupy several top-k refinement slots
+        errs = errs.at[g_orig:].set(jnp.inf)
 
     # per-λ top-k on err + λ·pen (the screen ran once)
     losses = errs[None, :] + lambdas[:, None] * pens[None, :]   # [L, G]
@@ -266,7 +294,12 @@ def fit_suppression_sweep(
     flat = top.reshape(-1)                                      # [L*R]
     nn_c, th_c = nn_inits[flat], theta_inits[flat]
     lam_lane = jnp.repeat(lambdas, cfg.select_best_n)           # [L*R]
-    lanes = flat.shape[0]
+    lanes_orig = flat.shape[0]
+    if r_size:
+        nn_c = shard_leading(pad_to_multiple(nn_c, r_size), mesh)
+        th_c = shard_leading(pad_to_multiple(th_c, r_size), mesh)
+        lam_lane = shard_leading(pad_to_multiple(lam_lane, r_size), mesh)
+    lanes = nn_c.shape[0]
     p_nn = nn_inits.shape[-1]
 
     def loss(nn, th, lam, d):
@@ -327,7 +360,9 @@ def fit_suppression_sweep(
             nn_c, th_c, lam_lane, data)
 
     def unflat(a):
-        return a.reshape(n_lam, cfg.select_best_n, *a.shape[1:])
+        # drop mesh-padded lanes before the (λ, restart) axes re-form
+        return a[:lanes_orig].reshape(n_lam, cfg.select_best_n,
+                                      *a.shape[1:])
 
     objs_l = unflat(objs)
     order = jnp.argsort(

@@ -202,3 +202,45 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(calls) == 1
     loaded, _ = load_checkpoint(tmp_path / "bare")
     np.testing.assert_allclose(loaded["v"], np.ones(3))
+
+
+def test_suppression_sweep_mesh_parity():
+    """The λ-sweep sharded over a "restarts" mesh axis must reproduce the
+    single-device sweep — including lane counts (initial space AND the
+    flattened λ×restart refinement lanes) that do NOT divide the mesh
+    axis, exercising the pad-and-slice path."""
+    from conditional_ude_tpu.models.suppression import (
+        SuppressionFitConfig,
+        fit_suppression_sweep,
+        generate_data,
+        suppression_net,
+    )
+
+    rng = np.random.default_rng(11)
+    tp = np.linspace(0.0, 30.0, 6)
+    data, _ = generate_data([0.5, 5.0, 12.5], [2] * 3, tp,
+                            noise_multiplicative=0.05, rng=rng)
+    net = suppression_net(depth=3, width=3)
+    lambdas = np.asarray([0.0, 0.1], np.float32)
+    cfg = SuppressionFitConfig(initial_space=36,   # 36 % 8 != 0
+                               select_best_n=3,    # 2*3=6 lanes, 6 % 8 != 0
+                               adam_iters=20, lbfgs_iters=20,
+                               max_steps=128, screen_chunk=36,
+                               dispatch_chunk=10)
+
+    plain = fit_suppression_sweep(net, data, tp, jax.random.key(2),
+                                  lambdas, cfg)
+    mesh = make_mesh(("restarts",))
+    sharded = fit_suppression_sweep(net, data, tp, jax.random.key(2),
+                                    lambdas, cfg, mesh=mesh)
+
+    assert sharded.objectives.shape == plain.objectives.shape
+    # partitioned lane extents change XLA's vectorization grouping, and 40
+    # optimizer iterations amplify those last-ulp differences — parity here
+    # is structural (no lane mixing / padding leaks), a few % numerically
+    np.testing.assert_allclose(np.asarray(sharded.objectives),
+                               np.asarray(plain.objectives),
+                               rtol=5e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.thetas),
+                               np.asarray(plain.thetas),
+                               rtol=1e-1, atol=1.5e-1)
