@@ -215,6 +215,11 @@ def main():
 
     write_metrics(args.results / "exp02_metrics.json", {
         "best_model_index": best,
+        # wall-clock of the cached joint multi-start training run that
+        # produced the artifact (screen -> top-k -> Adam -> L-BFGS,
+        # includes one-time compile + device cold-start)
+        "train_seconds": float(art["seconds"]) if "seconds" in art
+        else None,
         "ude_vs_cude": ude_vs_cude,
         "sampled_simulation_bands": band_stats,
         "objective_best": float(art["objectives"][best]),

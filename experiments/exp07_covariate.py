@@ -77,6 +77,8 @@ def main():
 
     write_metrics(args.results / "exp07_metrics.json", {
         "best_model_index": best,
+        "train_seconds": float(r.art["seconds"]) if "seconds" in r.art
+        else None,
         "train_sse_per_type": per_type_mse(train.types, sse_train),
         "test_sse_per_type": per_type_mse(test.types, sse_test),
         "spearman": corr,
