@@ -150,6 +150,10 @@ def initial_designs(net, n: int, key: jax.Array, cfg: TrainConfig,
     """
     g = cfg.initial_guesses
     nn_inits = net.init_batch(key, g)
+    # the raw key doubles as the LHS seed source: init_batch only consumes
+    # SPLITS of it (fold_in/split derive distinct streams), so bits(key)
+    # never collides with a Glorot draw.  Deliberately kept — rekeying
+    # would silently invalidate every committed fixed-seed artifact.
     np_rng = np.random.default_rng(
         seed if seed is not None else int(np.asarray(jax.random.bits(key))))
     beta_flat = latin_hypercube(np_rng, g, n * cfg.n_conditional,
@@ -195,6 +199,13 @@ def train_conditional(
                                  "restarts")
         betas_init = pad_to_multiple(betas_init, r_size)
         ind_ax = "individuals" if "individuals" in mesh.shape else None
+        if ind_ax and n % mesh.shape[ind_ax] != 0:
+            # padding the individuals axis would change the population
+            # MEAN over individuals (duplicated subjects get extra weight),
+            # so a non-divisible cohort degrades gracefully to a replicated
+            # individuals axis — restart sharding still carries the
+            # parallelism
+            ind_ax = None
         betas_init = jax.device_put(
             betas_init, NamedSharding(mesh, P("restarts", ind_ax, None)))
         g = nn_inits.shape[0]
@@ -274,9 +285,9 @@ def train_conditional(
     b0 = betas_init[top]
     if mesh is not None and k % mesh.shape.get("restarts", 1) == 0:
         # keep the refinement stages sharded over the restart axis too
+        # (ind_ax carries the divisibility-guarded choice from above)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ind_ax = "individuals" if "individuals" in mesh.shape else None
         nn0 = jax.device_put(nn0, NamedSharding(mesh, P("restarts", None)))
         b0 = jax.device_put(
             b0, NamedSharding(mesh, P("restarts", ind_ax, None)))

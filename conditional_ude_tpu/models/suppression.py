@@ -245,12 +245,11 @@ def fit_suppression_sweep(
     data = jnp.asarray(data, jnp.float32)
     tp = jnp.asarray(timepoints, jnp.float32)
 
+    from conditional_ude_tpu.parallel.mesh import pad_to_multiple
+
     r_size = None
     if mesh is not None and "restarts" in mesh.shape:
-        from conditional_ude_tpu.parallel.mesh import (
-            pad_to_multiple,
-            shard_leading,
-        )
+        from conditional_ude_tpu.parallel.mesh import shard_leading
 
         r_size = mesh.shape["restarts"]
 
@@ -276,10 +275,17 @@ def fit_suppression_sweep(
     screen = jax.jit(jax.vmap(err_pen, in_axes=(0, 0, None)))
     errs, pens = [], []
     for i in range(0, nn_inits.shape[0], cfg.screen_chunk):
-        e, p = screen(nn_inits[i:i + cfg.screen_chunk],
-                      theta_inits[i:i + cfg.screen_chunk], data)
-        errs.append(e)
-        pens.append(p)
+        nn_c = nn_inits[i:i + cfg.screen_chunk]
+        th_c = theta_inits[i:i + cfg.screen_chunk]
+        m = nn_c.shape[0]
+        if m < cfg.screen_chunk and i > 0:
+            # pad the tail chunk to the compiled shape — a remainder-shaped
+            # dispatch would repay a full XLA compile (see train._chunked_map)
+            nn_c = pad_to_multiple(nn_c, cfg.screen_chunk)
+            th_c = pad_to_multiple(th_c, cfg.screen_chunk)
+        e, p = screen(nn_c, th_c, data)
+        errs.append(e[:m])
+        pens.append(p[:m])
     errs, pens = jnp.concatenate(errs), jnp.concatenate(pens)
     if errs.shape[0] != g_orig:
         # mesh-padded lanes replicate the last real init — mask them out
@@ -427,21 +433,29 @@ def validate_suppression(
         best = jax.jit(jax.vmap(
             lambda nn, d, th_i: _validate_best_init(net, nn, d, tp, th_i),
             in_axes=(0, None, None)))(nn_params, data, theta_inits)
-        step = jax.jit(jax.vmap(
-            lambda nn, th, st, d: _validate_lbfgs_chunk(net, nn, th, d, tp,
-                                                        chunk, st),
-            in_axes=(0, 0, 0, None)))
+
+        def make_step(iters):
+            return jax.jit(jax.vmap(
+                lambda nn, th, st, d: _validate_lbfgs_chunk(
+                    net, nn, th, d, tp, iters, st),
+                in_axes=(0, 0, 0, None)))
     else:
         best = _validate_best_init(net, nn_params, data, tp, theta_inits)
-        step = lambda nn, th, st, d: _validate_lbfgs_chunk(net, nn, th, d,  # noqa: E731
-                                                           tp, chunk, st)
+
+        def make_step(iters):
+            return lambda nn, th, st, d: _validate_lbfgs_chunk(
+                net, nn, th, d, tp, iters, st)
 
     theta, obj, st = best, None, None
     done = 0
     while done < lbfgs_iters:
-        theta, obj, st = step(nn_params, theta, st, data)
+        # size the LAST dispatch to the remaining budget — a fixed-size
+        # tail would overrun lbfgs_iters and change the result whenever
+        # chunk does not divide it (at most 2 distinct compiled sizes)
+        step_iters = min(chunk, lbfgs_iters - done)
+        theta, obj, st = make_step(step_iters)(nn_params, theta, st, data)
         jax.block_until_ready(obj)
-        done += chunk
+        done += step_iters
     return theta, obj
 
 

@@ -78,12 +78,17 @@ def fit_k_sigma(
     model = symbolic_model()
     lb, ub = bounds
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run_chunk(x0s, iters, state):
+    # the cohort rides through the jit boundary as traced operands (a
+    # closure-captured cohort is baked into the HLO as constants, so the
+    # Ohashi and Fujita fits — and every replication seed — would each
+    # repay the full compile instead of sharing it; same invariant as
+    # fit_betas_sigma)
+    @partial(jax.jit, static_argnums=(2,))
+    def run_chunk(x0s, cohort_, iters, state):
         def fit_one(x0, ind, data, st):
             def loss(x):
                 return sse_sigma(model, {"k": x[0]}, x[1], ind,
-                                 cohort.timepoints, data, solver=solver,
+                                 cohort_.timepoints, data, solver=solver,
                                  max_steps=solver_max_steps)
 
             res = lbfgs_minimize(loss, x0,
@@ -92,8 +97,8 @@ def fit_k_sigma(
                                  max_iters=iters, init_state=st)
             return res.x, res.fval, res.state
 
-        return jax.vmap(fit_one)(x0s, cohort.individuals, cohort.cpeptide,
-                                 state)
+        return jax.vmap(fit_one)(x0s, cohort_.individuals,
+                                 cohort_.cpeptide, state)
 
     xs = jnp.broadcast_to(
         jnp.array([initial_k, initial_sigma], jnp.float32),
@@ -102,7 +107,7 @@ def fit_k_sigma(
     done = 0
     while done < lbfgs_iters:
         step = min(dispatch_chunk, lbfgs_iters - done)
-        xs, fvals, st = run_chunk(xs, step, st)
+        xs, fvals, st = run_chunk(xs, cohort, step, st)
         jax.block_until_ready(fvals)
         done += step
     return xs[:, 0], xs[:, 1], fvals

@@ -294,11 +294,13 @@ def lbfgs_minimize(
         gfin_new = jnp.where(ls.ok, ls.gfin,
                              jnp.where(ls.b_ok, ls.bgfin, s.gfin))
 
-        # curvature pair
+        # curvature pair — only from genuinely finite gradients at BOTH
+        # endpoints: yk built from a zeroed-out NaN/Inf gradient would
+        # poison the inverse-Hessian estimate for up to `history` iterations
         sk = x_new - s.x
         yk = g_new - s.g
         sy = jnp.dot(sk, yk)
-        store = ls_ok & (sy > 1e-10 * jnp.maximum(
+        store = ls_ok & gfin_new & s.gfin & (sy > 1e-10 * jnp.maximum(
             jnp.dot(sk, sk) * jnp.dot(yk, yk), 1e-30) ** 0.5)
         slot = s.head % m
         S = jnp.where(store, s.S.at[slot].set(sk), s.S)

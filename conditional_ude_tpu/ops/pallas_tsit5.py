@@ -104,8 +104,9 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], max_steps: int,
         f2a, f2b = rhs(jnp.full_like(c0, t0_f) + h0, y1a, y1b)
         d2 = rms2(f2a - f1a, f2b - f1b, s1, s2) / h0
         dmax = jnp.maximum(d1, d2)
+        # Hairer II.4 step (d): exponent 1/(p+1), p = 5 (ops/tsit5.py)
         h1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, h0 * 1e-3),
-                       (0.01 / dmax) ** (1.0 / _ORDER))
+                       (0.01 / dmax) ** (1.0 / (_ORDER + 1.0)))
         dt = jnp.minimum(100.0 * h0, jnp.minimum(h1, t_span))
         dt = jnp.where(jnp.isfinite(dt) & (dt > 0), dt, 1e-6 * t_span)
 

@@ -122,9 +122,11 @@ def _initial_dt(f, t0, y0, args, f0, rtol, atol, t_span):
     f1 = f(t0 + h0, y1, args)
     d2 = _rms((f1 - f0) / scale) / h0
     dmax = jnp.maximum(d1, d2)
+    # Hairer II.4 step (d): exponent 1/(p+1) for a method of order p
+    # (OrdinaryDiffEq's ode_determine_initdt uses 1/(alg_order+1) likewise)
     h1 = jnp.where(dmax <= 1e-15,
                    jnp.maximum(1e-6, h0 * 1e-3),
-                   (0.01 / dmax) ** (1.0 / _ORDER))
+                   (0.01 / dmax) ** (1.0 / (_ORDER + 1.0)))
     dt = jnp.minimum(100.0 * h0, jnp.minimum(h1, t_span))
     # guard against non-finite RHS at the initial point
     return jnp.where(jnp.isfinite(dt) & (dt > 0), dt, 1e-6 * t_span)

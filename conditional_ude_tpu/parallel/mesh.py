@@ -113,18 +113,26 @@ def sharded_screen_pallas(net, nn_inits, betas, cohort, mesh: Mesh,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from conditional_ude_tpu.ops.pallas_rk4 import population_sse_pallas
+    from conditional_ude_tpu.ops.pallas_rk4 import _population_sse_pallas_impl
 
     interpret = jax.default_backend() != "tpu"
+    # the cohort DATA crosses the jit boundary as replicated traced
+    # operands (a closure-captured cohort bakes the data bytes into the
+    # HLO, so the persistent-compile-cache key would depend on them and
+    # every same-shape cohort would repay the compile); only the static
+    # time grid stays closure-side — the kernel needs it concrete
+    inds = cohort.individuals
+    kin = jax.numpy.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+    tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
     fn = shard_map(
-        lambda nn_, b_: population_sse_pallas(
-            net, nn_, b_, cohort, substeps=substeps, interpret=interpret),
+        lambda nn_, b_, gl_, cp_, kin_: _population_sse_pallas_impl(
+            net, nn_, b_, gl_, cp_, kin_, tp, substeps, interpret),
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None)),
+        in_specs=(P(axis_name, None), P(axis_name, None), P(), P(), P()),
         out_specs=P(axis_name),
         check_vma=False,
     )
-    return jax.jit(fn)(nn_inits, betas)
+    return jax.jit(fn)(nn_inits, betas, inds.glucose, cohort.cpeptide, kin)
 
 
 def shard_cohort(cohort: Any, mesh: Mesh,
@@ -194,6 +202,12 @@ def sharded_beta_profiles(model, nn_params, cohort, mesh: Mesh,
 
     n = cohort.n
     size = mesh.shape[axis_name]
+    # the Pallas kernel is a Mosaic custom call with no SPMD partitioning
+    # rule: feeding it individuals-sharded operands would either fail to
+    # lower or replicate the full lane grid on every chip.  The XLA path
+    # auto-partitions under jit, so it is the multi-chip default here;
+    # callers can still force the kernel via kwargs on a single chip.
+    kwargs.setdefault("use_pallas", False)
     cohort_p = pad_cohort(cohort, size)
     sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (n,))
     sig = shard_leading(pad_to_multiple(sig, size), mesh, axis_name)

@@ -160,3 +160,32 @@ def test_suppression_fit_and_validate_are_data_polymorphic(cache_dir):
         jax.block_until_ready(obj)
 
     _assert_second_run_hits_cache(run, cache_dir)
+
+
+def test_fit_k_sigma_is_data_polymorphic(cache_dir):
+    from conditional_ude_tpu.models.symbolic import fit_k_sigma
+
+    def run(seed):
+        ks, sigmas, objs = fit_k_sigma(_cohort(seed), lbfgs_iters=4,
+                                       solver_max_steps=64,
+                                       dispatch_chunk=2)
+        jax.block_until_ready(objs)
+
+    _assert_second_run_hits_cache(run, cache_dir)
+
+
+def test_sharded_screen_pallas_is_data_polymorphic(cache_dir):
+    from conditional_ude_tpu.parallel import make_mesh
+    from conditional_ude_tpu.parallel.mesh import sharded_screen_pallas
+
+    net = chain(4, 2, "tanh", input_dims=2)
+    mesh = make_mesh(("restarts",), (2,), jax.devices()[:2])
+
+    def run(seed):
+        cohort = _cohort(seed, n=4)
+        nn = net.init_batch(jax.random.key(0), 4)
+        betas = jnp.full((4, 4), -1.0 - 0.1 * seed, jnp.float32)
+        out = sharded_screen_pallas(net, nn, betas, cohort, mesh)
+        jax.block_until_ready(out)
+
+    _assert_second_run_hits_cache(run, cache_dir)

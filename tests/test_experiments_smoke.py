@@ -53,6 +53,10 @@ def test_exp02_smoke_covers_ude_branch_and_is_reproducible(tmp_path):
     assert np.isfinite(m1["test_sse_mean"])
 
     m2 = _run_exp02_smoke(tmp_path, "b")
+    # train_seconds is wall-clock telemetry, not a model output — everything
+    # else must reproduce bit-for-bit across identical retrains
+    m1.pop("train_seconds", None)
+    m2.pop("train_seconds", None)
     assert m1 == m2, "exp02 smoke metrics differ across identical retrains"
 
 

@@ -244,3 +244,22 @@ def test_suppression_sweep_mesh_parity():
     np.testing.assert_allclose(np.asarray(sharded.thetas),
                                np.asarray(plain.thetas),
                                rtol=1e-1, atol=1.5e-1)
+
+
+def test_train_conditional_mesh_nondivisible_individuals(rng):
+    """A cohort whose size does not divide the mesh 'individuals' axis must
+    degrade to a replicated individuals axis (padding it would re-weight
+    the population mean) and still reproduce single-device objectives."""
+    from conditional_ude_tpu.fit.train import TrainConfig, train_conditional
+
+    model, net, cohort = _synthetic_cohort(rng, 5)      # 5 % 2 != 0
+    cfg = TrainConfig(initial_guesses=16, selected_initials=4,
+                      adam_iters=3, lbfgs_iters=3, screen_chunk=16,
+                      max_steps=64, final_eval_tsit5=False)
+    plain = train_conditional(model, cohort, jax.random.key(5), cfg)
+    mesh = make_mesh(("restarts", "individuals"), (4, 2))
+    sharded = train_conditional(model, cohort, jax.random.key(5), cfg,
+                                mesh=mesh)
+    np.testing.assert_allclose(np.sort(np.asarray(sharded.objectives)),
+                               np.sort(np.asarray(plain.objectives)),
+                               rtol=5e-3)

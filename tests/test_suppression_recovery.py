@@ -76,3 +76,25 @@ def test_joint_sweep_matches_per_lambda_fits():
         np.testing.assert_allclose(np.asarray(sweep.thetas[li]),
                                    np.asarray(single.thetas),
                                    rtol=5e-2, atol=5e-2)
+
+
+def test_validate_suppression_exact_budget_on_nondivisible_chunk():
+    """A dispatch chunk that does not divide ``lbfgs_iters`` must still run
+    EXACTLY the requested number of iterations: the last dispatch is sized
+    to the remaining budget (a fixed-size tail would overrun and change
+    the optimum), so chunked and single-dispatch runs agree bit-for-bit."""
+    rng = np.random.default_rng(7)
+    tp = np.linspace(0.0, 30.0, 6)
+    data, _ = generate_data([0.5, 5.0], [2, 2], tp,
+                            noise_multiplicative=0.05, rng=rng)
+    net = suppression_net(depth=3, width=3)
+    nn = net.init(jax.random.key(0))
+    theta_inits = jnp.asarray(rng.uniform(size=(8, data.shape[0])),
+                              jnp.float32)
+
+    theta_a, obj_a = validate_suppression(net, nn, data, tp, theta_inits,
+                                          lbfgs_iters=5, chunk=2)
+    theta_b, obj_b = validate_suppression(net, nn, data, tp, theta_inits,
+                                          lbfgs_iters=5, chunk=500)
+    np.testing.assert_array_equal(np.asarray(theta_a), np.asarray(theta_b))
+    np.testing.assert_array_equal(np.asarray(obj_a), np.asarray(obj_b))
