@@ -55,6 +55,63 @@ def build_cohort_arrays():
                         rng.uniform(size=n) > 0.7)
 
 
+def flops_per_solve(net, substeps: int, n_seg: int) -> float:
+    """Analytic FLOPs per trajectory solve of the fused RK4 screening
+    kernel (``ops/pallas_rk4.py::population_sse_pallas``).
+
+    Counting convention: every scalar mul/add/sub counts 1; transcendental
+    evaluations (tanh, softplus) count 1 (they cost several VPU ops in
+    hardware, so utilization derived from this model is CONSERVATIVE).
+    The kernel hoists the β (and age) partial pre-activations of layer 1
+    out of the time loop, so layer 1 costs only the ΔG path per eval.
+    """
+    dims = net.layer_dims
+    fo0 = dims[0][1]
+    # production eval: hoisted layer 1 (mul+add+tanh per unit), full hidden
+    # layers, scalar softplus head, minus the hoisted baseline
+    mlp = fo0 * 3
+    for fi, fo in dims[1:-1]:
+        mlp += fo * (2 * fi + 1)
+    fi_last = dims[-1][0]
+    mlp += 2 * fi_last + 1        # output layer
+    mlp += 1                      # production = MLP - base
+    # RHS: glucose blend (4) + du1 (5: 2 mul + 3 add with hoisted k0+k2,
+    # k0*c0) + du2 (3)
+    rhs = mlp + 12
+    # RK4 substep: 4 RHS evals + stage-state prep (2 states x 2 ops x 3
+    # stages) + the weighted state update (2 states x 8)
+    per_substep = 4 * rhs + 12 + 16
+    # solve: all segments' substeps + per-savepoint SSE (sub, mul, add) +
+    # u0/baseline init (~10)
+    return float(n_seg * substeps * per_substep + (n_seg + 1) * 3 + 10)
+
+
+# Published per-chip peaks.  VPU f32 peak = 8x128 vector lanes x 4 ALUs x
+# clock (the scaling-book VPU model); this kernel is pure elementwise VPU
+# work (2x2 ODE states + a 37-param MLP never touch the MXU), so VPU
+# utilization is the speed-of-light measure; the bf16 MXU peak is reported
+# for context only.
+CHIP_PEAKS = {
+    # device_kind substring -> (vpu_f32_tflops, mxu_bf16_tflops)
+    "v5 lite": (3.85, 197.0),     # v5e @ 940 MHz
+    "v5e": (3.85, 197.0),
+    "v5p": (7.84, 459.0),         # 2 cores/chip @ ~1.75 GHz merged kind
+    "v4": (5.03, 275.0),          # @ 1.05 GHz, 2 cores
+    "v6e": (7.55, 918.0),         # trillium @ ~1.85 GHz (est.)
+}
+
+
+def chip_peaks() -> tuple[str, float, float]:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (vpu, mxu) in CHIP_PEAKS.items():
+        if key in kind:
+            return kind, vpu * 1e12, mxu * 1e12
+    log(f"unknown device_kind {kind!r}; assuming v5e peaks")
+    return kind, 3.85e12, 197.0e12
+
+
 def _warmup_watchdog(done: dict, timeout_s: int) -> None:
     """Hard-exit instead of hanging forever when the axon TPU tunnel is
     wedged (observed: backend init / the first device sync blocking
@@ -166,11 +223,28 @@ def main():
     log(f"serial CPU: {m} solves in {serial_dt:.3f}s -> "
         f"{serial_tput:,.1f} solves/s")
 
+    # -- FLOPs model + utilization (r02 verdict: a solves/s headline alone
+    # cannot be judged against chip peak) ------------------------------------
+    n_seg = int(np.asarray(cohort.timepoints).shape[0]) - 1
+    fps = flops_per_solve(net, substeps=8, n_seg=n_seg)
+    model_flops_per_sec = tput * fps
+    kind, vpu_peak, mxu_peak = chip_peaks()
+    vpu_util = 100.0 * model_flops_per_sec / vpu_peak
+    log(f"flops/solve={fps:.0f} model_flops={model_flops_per_sec:.3e}/s "
+        f"chip={kind} vpu_util={vpu_util:.1f}% "
+        f"(vs bf16 MXU peak: {100.0 * model_flops_per_sec / mxu_peak:.2f}%)")
+
     print(json.dumps({
         "metric": "cude_cohort_ode_solves_per_sec",
         "value": round(tput, 1),
         "unit": "solves/s",
         "vs_baseline": round(tput / serial_tput, 2),
+        "model_flops_per_solve": round(fps),
+        "model_flops_per_sec": round(model_flops_per_sec, 1),
+        "device_kind": kind,
+        "vpu_utilization_pct": round(vpu_util, 2),
+        "mxu_bf16_mfu_pct": round(
+            100.0 * model_flops_per_sec / mxu_peak, 3),
     }))
 
 

@@ -90,8 +90,11 @@ def cohort_beta_profiles(
 
     def _kernel_ok():
         net = model.net
-        return (model.kind == "conditional" and net is not None
-                and net.input_dims == 2
+        kind_ok = ((model.kind == "conditional" and net is not None
+                    and net.input_dims == 2)
+                   or (model.kind == "conditional_covariate"
+                       and net is not None and net.input_dims == 3))
+        return (kind_ok
                 and all(a == "tanh" for a in net.activations)
                 and net.output_activation == "softplus"
                 and set(solver_kwargs) <= {"substeps"})
@@ -100,11 +103,15 @@ def cohort_beta_profiles(
         use_pallas = jax.default_backend() == "tpu" and _kernel_ok()
     elif use_pallas and not _kernel_ok():
         raise ValueError(
-            "use_pallas=True requires the canonical conditional model "
-            "(2-input tanh/softplus net) and supports only the 'substeps' "
-            "solver kwarg; use use_pallas=False for this configuration")
+            "use_pallas=True requires the canonical conditional or "
+            "covariate model (2- or 3-input tanh/softplus net) and supports "
+            "only the 'substeps' solver kwarg; use use_pallas=False for "
+            "this configuration")
     if use_pallas:
-        from conditional_ude_tpu.ops.pallas_rk4 import cohort_sse_pallas
+        from conditional_ude_tpu.ops.pallas_rk4 import (
+            cohort_kinetics,
+            cohort_sse_pallas,
+        )
 
         kernel_substeps = int(solver_kwargs.get("substeps", 8))
 
@@ -112,7 +119,7 @@ def cohort_beta_profiles(
         # NN replicated across lanes and per-lane β = the grid value
         inds = cohort.individuals
         n = cohort.n
-        kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+        kin = cohort_kinetics(cohort, with_age=model.net.input_dims == 3)
         tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
         k = len(tp)
 

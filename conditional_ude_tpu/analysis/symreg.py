@@ -50,6 +50,19 @@ class SymRegConfig:
     const_opt_lr: float = 0.1
     elite: int = 32
     parsimony: float = 1e-5         # complexity penalty added to fitness
+    # evolution runs in blocks of this many generations; between blocks the
+    # hall of fame (best-ever program per complexity) is updated, its
+    # members get their constants optimized, and they are re-injected into
+    # the population.  Rational/inv structures need tuned constants to
+    # SURVIVE selection (a Michaelis-Menten form with a wrong denominator
+    # constant loses to a line), so end-of-run-only constant optimization
+    # — the round-2 design — never kept them alive long enough to win.
+    block_gens: int = 20
+    const_opt_top: int = 64         # population members const-opted per block
+    fresh_frac: float = 0.15        # fraction of the population replaced by
+                                    # fresh random programs each block
+                                    # (tournament takeover otherwise
+                                    # collapses diversity within ~30 gens)
 
 
 class SymRegResult(NamedTuple):
@@ -300,17 +313,75 @@ def fit_symbolic(
 
     k_init, k_gens, k_final = jax.random.split(key, 3)
     ops, consts = _random_programs(k_init, pop, depth, cfg.const_range)
+    jit_loss = jax.jit(loss_of)
 
-    gen_keys = jax.random.split(k_gens, cfg.generations)
-    (ops, consts), best_trace = lax.scan(generation, (ops, consts), gen_keys)
+    # hall of fame: best-ever (ops, consts, loss) per complexity level —
+    # the final population alone loses good intermediate-complexity
+    # programs to drift (the round-2 front had 5 rows and topped out early)
+    hof: dict[int, tuple[float, np.ndarray, np.ndarray]] = {}
 
-    # constant optimization on the top programs
-    losses = loss_of(ops, consts)
-    order = jnp.argsort(losses)
-    top = order[: max(cfg.elite, 64)]
-    consts = consts.at[top].set(
-        opt_consts(ops[top], consts[top], cfg.const_opt_steps))
-    losses = loss_of(ops, consts)
+    def hof_update(ops_a, consts_a, losses_a):
+        comp = np.asarray(complexity_of(ops_a))
+        losses_np = np.asarray(losses_a)
+        for c in np.unique(comp):
+            sel = np.flatnonzero(comp == c)
+            i = sel[np.argmin(losses_np[sel])]
+            if np.isfinite(losses_np[i]) and (
+                    int(c) not in hof or losses_np[i] < hof[int(c)][0]):
+                hof[int(c)] = (float(losses_np[i]),
+                               np.asarray(ops_a[i]),
+                               np.asarray(consts_a[i]))
+
+    n_blocks = -(-cfg.generations // cfg.block_gens)
+    gens_left = cfg.generations
+    for blk in range(n_blocks):
+        gens = min(cfg.block_gens, gens_left)
+        gens_left -= gens
+        gen_keys = jax.random.split(jax.random.fold_in(k_gens, blk), gens)
+        (ops, consts), _ = lax.scan(generation, (ops, consts), gen_keys)
+
+        # constant optimization on the block's best + the hall of fame
+        losses = jit_loss(ops, consts)
+        top = jnp.argsort(losses)[: max(cfg.elite, cfg.const_opt_top)]
+        consts = consts.at[top].set(
+            opt_consts(ops[top], consts[top], cfg.const_opt_steps))
+        losses = jit_loss(ops, consts)
+        hof_update(ops, consts, losses)
+
+        if hof and blk < n_blocks - 1:
+            h_ops = jnp.asarray(np.stack([v[1] for v in hof.values()]))
+            h_consts = jnp.asarray(np.stack([v[2] for v in hof.values()]))
+            h_consts = opt_consts(h_ops, h_consts, cfg.const_opt_steps)
+            h_losses = jit_loss(h_ops, h_consts)
+            hof_update(h_ops, h_consts, h_losses)
+            # re-inject the hall into the worst population slots: crossover
+            # material for the next block without displacing live elites
+            worst = jnp.argsort(losses)[-h_ops.shape[0]:]
+            ops = ops.at[worst].set(h_ops)
+            consts = consts.at[worst].set(h_consts)
+
+        if blk < n_blocks - 1 and cfg.fresh_frac > 0:
+            # fresh blood against tournament takeover: random programs into
+            # the worst slots just above the HOF re-injections
+            n_fresh = int(cfg.fresh_frac * pop)
+            if n_fresh:
+                f_ops, f_consts = _random_programs(
+                    jax.random.fold_in(k_final, blk), n_fresh, depth,
+                    cfg.const_range)
+                slots = jnp.argsort(jit_loss(ops, consts))[
+                    -(n_fresh + len(hof)):-len(hof) or None]
+                slots = slots[:n_fresh]
+                ops = ops.at[slots].set(f_ops)
+                consts = consts.at[slots].set(f_consts)
+
+    # return the population with the hall of fame appended, so the Pareto
+    # front reflects best-ever programs, not just end-of-run survivors
+    if hof:
+        h_ops = jnp.asarray(np.stack([v[1] for v in hof.values()]))
+        h_consts = jnp.asarray(np.stack([v[2] for v in hof.values()]))
+        ops = jnp.concatenate([ops, h_ops])
+        consts = jnp.concatenate([consts, h_consts])
+    losses = jit_loss(ops, consts)
 
     return SymRegResult(ops=ops, consts=consts, losses=losses,
                         complexity=complexity_of(ops))

@@ -95,6 +95,10 @@ class TrainResult(NamedTuple):
     objectives: jax.Array     # [R]
     screen_losses: jax.Array  # [G] losses of all initial guesses
     loss_traces: jax.Array    # [R, adam_iters]
+    # canonical ±1 β-gauge per restart (models.cpeptide.production_orientation:
+    # the trained conditional axis has an arbitrary monotone orientation;
+    # β analyses use orientations[r] * betas[r])
+    orientations: jax.Array | None = None
 
 
 def _chunked_map(fn, xs, chunk: int, extra=None):
@@ -127,14 +131,16 @@ def _chunked_map(fn, xs, chunk: int, extra=None):
 
 
 def _pallas_eligible(model: CPeptideModel, cfg: TrainConfig) -> bool:
-    """The fused kernels hard-code the canonical cUDE: tanh hidden layers,
-    softplus head, [ΔG, e^β] inputs, one conditional parameter, RK4."""
+    """The fused kernels cover the canonical cUDE ([ΔG, e^β] inputs) and the
+    covariate model ([ΔG, e^β, age], ``c-peptide/07-covariate-inclusion.jl:32``):
+    tanh hidden layers, softplus head, one conditional parameter, RK4."""
     net = model.net
-    return (model.kind == "conditional"
-            and cfg.n_conditional == 1
-            and cfg.solver == "rk4"
-            and net is not None
-            and net.input_dims == 2
+    if net is None or cfg.n_conditional != 1 or cfg.solver != "rk4":
+        return False
+    kind_ok = ((model.kind == "conditional" and net.input_dims == 2)
+               or (model.kind == "conditional_covariate"
+                   and net.input_dims == 3))
+    return (kind_ok
             and all(a == "tanh" for a in net.activations)
             and net.output_activation == "softplus")
 
@@ -190,6 +196,25 @@ def train_conditional(
     # -- initial designs (NN: Glorot-uniform batch; β: Latin hypercube) -----
     nn_inits, betas_init = initial_designs(model.net, n, key, cfg, seed)
 
+    pallas_ok = _pallas_eligible(model, cfg)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and pallas_ok
+    elif use_pallas and not pallas_ok:
+        raise ValueError(
+            "use_pallas=True requires the canonical conditional or "
+            "covariate model (kind='conditional' with a 2-input net, or "
+            "'conditional_covariate' with a 3-input net; tanh hidden "
+            "layers, softplus head, n_conditional=1, solver='rk4'); this "
+            "model would be silently screened as a different network")
+    # multi-chip fused path: screening AND refinement run the fused kernels
+    # under shard_map over the restart axis (interpret mode off-TPU, which
+    # the driver dry-run uses to validate the sharded program without
+    # hardware)
+    fused_mesh = (mesh is not None and use_pallas
+                  and "restarts" in mesh.shape)
+    interpret = jax.default_backend() != "tpu"
+
     cohort_full = cohort
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -205,6 +230,11 @@ def train_conditional(
             # so a non-divisible cohort degrades gracefully to a replicated
             # individuals axis — restart sharding still carries the
             # parallelism
+            ind_ax = None
+        if fused_mesh:
+            # the fused kernels iterate the individual axis in-kernel over
+            # replicated SMEM scalars — the cohort stays whole per chip and
+            # the restart axis carries all the parallelism
             ind_ax = None
         betas_init = jax.device_put(
             betas_init, NamedSharding(mesh, P("restarts", ind_ax, None)))
@@ -223,20 +253,7 @@ def train_conditional(
     dyn0 = cohort_dynamic(cohort)
     times = cohort_times(cohort)
 
-    pallas_ok = _pallas_eligible(model, cfg)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu" and mesh is None
-                      and pallas_ok)
-    elif use_pallas and not pallas_ok:
-        raise ValueError(
-            "use_pallas=True requires the canonical conditional model "
-            "(kind='conditional', 2-input net with tanh hidden layers and "
-            "a softplus head, n_conditional=1, solver='rk4'); this model "
-            "would be silently screened as a different network")
-
-    if (mesh is not None and use_pallas and pallas_ok
-            and "restarts" in mesh.shape):
+    if fused_mesh:
         # multi-chip screening: fused kernel under shard_map, restart
         # shards per chip, no cross-chip communication
         from conditional_ude_tpu.parallel.mesh import sharded_screen_pallas
@@ -260,7 +277,7 @@ def train_conditional(
                 b_c = pad_to_multiple(b_c, cfg.screen_chunk)
             parts.append(population_sse_pallas(
                 model.net, nn_c, b_c, cohort,
-                substeps=cfg.substeps)[:m])
+                substeps=cfg.substeps, interpret=interpret)[:m])
         screen = jnp.concatenate(parts)                            # [G]
     else:
         def screen_loss(p, dyn):
@@ -283,7 +300,16 @@ def train_conditional(
     top = jnp.argsort(jnp.where(jnp.isfinite(screen), screen, jnp.inf))[:k]
     nn0 = nn_inits[top]
     b0 = betas_init[top]
-    if mesh is not None and k % mesh.shape.get("restarts", 1) == 0:
+    k_run = k
+    if fused_mesh:
+        # shard_map needs the restart axis divisible: pad with replicas of
+        # the last selected design (they refine like real lanes and are
+        # sliced off before ranking)
+        r_size = mesh.shape["restarts"]
+        nn0 = pad_to_multiple(nn0, r_size)
+        b0 = pad_to_multiple(b0, r_size)
+        k_run = nn0.shape[0]
+    elif mesh is not None and k % mesh.shape.get("restarts", 1) == 0:
         # keep the refinement stages sharded over the restart axis too
         # (ind_ax carries the divisibility-guarded choice from above)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -303,11 +329,25 @@ def train_conditional(
     # reverse-mode AD through the RK4 scan on every refinement evaluation
     # (~2 orders of magnitude less VPU work; ops/pallas_grad.py)
     fused_vg = None
-    if use_pallas and mesh is None:
+    if use_pallas:
         from conditional_ude_tpu.ops.pallas_grad import fused_population_vg
 
         fused_vg = fused_population_vg(model.net, cohort,
-                                       substeps=cfg.substeps)
+                                       substeps=cfg.substeps,
+                                       interpret=interpret)
+
+    def _shard_restarts(vmapped_fn):
+        """Wrap a vmapped refinement step in ``shard_map`` over the restart
+        axis: each chip refines its restart shard with the fused kernels on
+        LOCAL lanes and zero cross-chip communication (the cohort operand
+        replicates, spec ``P()``)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return shard_map(vmapped_fn, mesh=mesh,
+                         in_specs=(P("restarts"), P("restarts"),
+                                   P("restarts"), P()),
+                         out_specs=P("restarts"), check_vma=False)
 
     def tree_vg(pt, dyn):
         f, gnn, gb = fused_vg(pt["neural"], pt["conditional"][:, 0], dyn)
@@ -323,13 +363,23 @@ def train_conditional(
         return (res.x["neural"], res.x["conditional"], res.opt_state,
                 res.loss_trace)
 
-    adam_step = jax.jit(jax.vmap(run_adam_chunk,
-                                 in_axes=(0, 0, 0, None, None)),
-                        static_argnums=4)
+    if fused_mesh:
+        _adam_cache = {}
+
+        def adam_step(nn, b, state, dyn, iters):
+            if iters not in _adam_cache:
+                body = jax.vmap(partial(run_adam_chunk, iters=iters),
+                                in_axes=(0, 0, 0, None))
+                _adam_cache[iters] = jax.jit(_shard_restarts(body))
+            return _adam_cache[iters](nn, b, state, dyn)
+    else:
+        adam_step = jax.jit(jax.vmap(run_adam_chunk,
+                                     in_axes=(0, 0, 0, None, None)),
+                            static_argnums=4)
     state = jax.vmap(lambda nn, b: optax.adam(cfg.adam_lr).init(
         {"neural": nn, "conditional": b}))(nn0, b0)
     nn1, b1 = nn0, b0
-    trace_parts = [jnp.zeros((k, 0), jnp.float32)]
+    trace_parts = [jnp.zeros((k_run, 0), jnp.float32)]
     done_iters = 0
     # per-stage chunks: long single XLA programs through the axon tunnel
     # get the worker killed, so each stage runs as ≤dispatch_chunk-iteration
@@ -368,9 +418,19 @@ def train_conditional(
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
                 res.fval, res.state)
 
-    lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk,
-                                  in_axes=(0, 0, 0, None, None)),
-                         static_argnums=4)
+    if fused_mesh:
+        _lbfgs_cache = {}
+
+        def lbfgs_step(nn, b, state, dyn, iters):
+            if iters not in _lbfgs_cache:
+                body = jax.vmap(partial(run_lbfgs_chunk, iters=iters),
+                                in_axes=(0, 0, 0, None))
+                _lbfgs_cache[iters] = jax.jit(_shard_restarts(body))
+            return _lbfgs_cache[iters](nn, b, state, dyn)
+    else:
+        lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk,
+                                      in_axes=(0, 0, 0, None, None)),
+                             static_argnums=4)
     nn2, b2, objs, lb_state = nn1, b1, None, None
     done_iters = 0
     while done_iters < cfg.lbfgs_iters:
@@ -393,14 +453,22 @@ def train_conditional(
         # parity ranking: re-evaluate final objectives with the adaptive
         # solver the reference uses (one cheap gradient-free batched pass;
         # the fused adaptive kernel where eligible)
-        if use_pallas and mesh is None:
+        if fused_mesh:
+            from conditional_ude_tpu.parallel.mesh import (
+                sharded_screen_tsit5_pallas,
+            )
+
+            objs = sharded_screen_tsit5_pallas(
+                model.net, nn2, b2[:, :, 0], cohort_full, mesh,
+                max_steps=cfg.max_steps)
+        elif use_pallas and mesh is None:
             from conditional_ude_tpu.ops.pallas_tsit5 import (
                 screen_population_tsit5_pallas,
             )
 
             objs = screen_population_tsit5_pallas(
                 model.net, nn2, b2[:, :, 0], cohort,
-                max_steps=cfg.max_steps)
+                max_steps=cfg.max_steps, interpret=interpret)
         else:
             def _eval_tsit5(nn, b, dyn):
                 cohort_ = cohort_with_times(dyn, times)
@@ -417,11 +485,31 @@ def train_conditional(
               f"adam={_t2 - _t1:.1f}s lbfgs={_t3 - _t2:.1f}s "
               f"final_eval={_t4 - _t3:.1f}s", file=sys.stderr)
 
+    if k_run != k:
+        # drop the shard_map padding replicas before ranking
+        nn2, b2, objs, traces = nn2[:k], b2[:k], objs[:k], traces[:k]
+
+    # gauge-fix the conditional axis: emit each restart's canonical ±1 β
+    # orientation (the trained gauge is arbitrary; see
+    # models.cpeptide.production_orientation).  The cohort's mean age rides
+    # as an operand so the program stays data-polymorphic.
+    from conditional_ude_tpu.models.cpeptide import production_orientation
+
+    expected_in = 2 + (model.kind == "conditional_covariate")
+    orients = None
+    if cfg.n_conditional == 1 and model.net.input_dims == expected_in:
+        mean_age = jnp.mean(cohort_full.individuals.age)
+        orients = jax.jit(jax.vmap(
+            lambda nn_, a_: production_orientation(model, nn_, age=a_),
+            in_axes=(0, None)))(nn2, mean_age)
+
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return TrainResult(nn_params=nn2[order], betas=b2[order],
                        objectives=objs[order],
                        screen_losses=screen[:g_orig],
-                       loss_traces=traces[order])
+                       loss_traces=traces[order],
+                       orientations=None if orients is None
+                       else orients[order])
 
 
 def train_ude(

@@ -255,6 +255,55 @@ class CPeptideModel:
         return jnp.stack([du1, du2])
 
 
+def production_orientation(
+    model: CPeptideModel,
+    nn_params: jax.Array,
+    beta_range: tuple[float, float] = (-2.5, 0.5),
+    dg_range: tuple[float, float] = (0.5, 10.0),
+    age: jax.Array | float = 50.0,
+    steps: int = 13,
+) -> jax.Array:
+    """Canonical ±1 gauge of a trained conditional axis.
+
+    β enters the model only through ``NN([ΔG, e^β, …])``
+    (``conditional_production``, reference ``src/c-peptide-models.jl:86-94``),
+    so joint training converges to an ARBITRARY monotone orientation of β:
+    across seeds, every β-vs-covariate correlation flips sign together while
+    its magnitude is stable.  No exact in-model flip exists — β enters
+    through e^β, so no weight transformation realizes β → −β with identical
+    outputs — hence the framework canonicalizes the REPORTED gauge instead:
+
+      * **+1** when the production surface is decreasing in β over the
+        physiological (β, ΔG) box — the orientation of the reference's
+        published fitted model — and
+      * **−1** when the trained gauge is mirrored.
+
+    Downstream β analyses (correlations with clamp indices, across-seed
+    aggregation) use ``orientation * β``; :func:`~…fit.train.train_conditional`
+    emits this per restart as ``TrainResult.orientations``.
+
+    ``age`` feeds the covariate input of ``conditional_covariate`` models
+    (use the cohort's mean age); ignored otherwise.
+    """
+    bs = jnp.linspace(beta_range[0], beta_range[1], steps)
+    dgs = jnp.linspace(dg_range[0], dg_range[1], 8)
+    age = jnp.asarray(age, jnp.float32)
+
+    def prod(dg, b):
+        eb = jnp.exp(b)[None]
+        parts = [jnp.atleast_1d(dg), eb]
+        if model.kind == "conditional_covariate":
+            parts.append(age[None])
+        x1 = jnp.concatenate(parts)
+        x0 = jnp.concatenate([jnp.zeros(1, dg.dtype)] + parts[1:])
+        return model.net.scalar(nn_params, x1) - model.net.scalar(
+            nn_params, x0)
+
+    surf = jax.vmap(lambda b: jax.vmap(lambda g: prod(g, b))(dgs))(bs)
+    slope = jnp.mean(surf[1:] - surf[:-1])
+    return jnp.where(slope <= 0, 1.0, -1.0).astype(jnp.float32)
+
+
 def simulate(
     model: CPeptideModel,
     params: Any,

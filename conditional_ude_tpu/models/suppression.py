@@ -15,7 +15,7 @@ solves become a ``vmap`` over the population axis inside one compiled loss.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -448,12 +448,19 @@ def validate_suppression(
 
     theta, obj, st = best, None, None
     done = 0
+    # memoize the jitted step per iters value: a fresh jit(vmap(...))
+    # wrapper per loop iteration would re-trace every dispatch (in-memory
+    # jit caches are per wrapper object) — at most 2 distinct sizes live
+    # here (full chunk + tail)
+    steps: dict[int, Any] = {}
     while done < lbfgs_iters:
         # size the LAST dispatch to the remaining budget — a fixed-size
         # tail would overrun lbfgs_iters and change the result whenever
         # chunk does not divide it (at most 2 distinct compiled sizes)
         step_iters = min(chunk, lbfgs_iters - done)
-        theta, obj, st = make_step(step_iters)(nn_params, theta, st, data)
+        if step_iters not in steps:
+            steps[step_iters] = make_step(step_iters)
+        theta, obj, st = steps[step_iters](nn_params, theta, st, data)
         jax.block_until_ready(obj)
         done += step_iters
     return theta, obj

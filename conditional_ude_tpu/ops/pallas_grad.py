@@ -172,7 +172,8 @@ def _param_offsets(layer_dims):
 
 
 def _build_population_grad_kernel(net: MLP, timepoints: tuple[float, ...],
-                                  substeps: int, n_ind: int):
+                                  substeps: int, n_ind: int,
+                                  with_age: bool = False):
     layer_dims = net.layer_dims
     p = net.num_params
     offsets = _param_offsets(layer_dims)
@@ -201,9 +202,14 @@ def _build_population_grad_kernel(net: MLP, timepoints: tuple[float, ...],
             kc = k0 * c0
             eb = jnp.exp(b_ref[nidx])
             g_at0 = (1.0 - w0) * g_smem[j0, nidx] + w0 * g_smem[j0 + 1, nidx]
+            # covariate model: age (5th kin row, per-individual scalar) as
+            # the 3rd MLP input; its weight gradients fall out of the hand
+            # VJP (layer-1 fan-in 3), the input itself needs no cotangent
+            extra = [kin_smem[4, nidx] * jnp.ones_like(eb)] if with_age \
+                else []
 
             def mlp(dg):
-                return _mlp_fwd_cache(layers, [dg, eb])
+                return _mlp_fwd_cache(layers, [dg, eb] + extra)
 
             base, base_cache = mlp(jnp.zeros_like(eb))
 
@@ -298,7 +304,7 @@ def _population_sse_and_grad_impl(
     betas: jax.Array,        # [G, N]
     glucose: jax.Array,      # [N, K]
     data: jax.Array,         # [N, K]
-    kinetics: jax.Array,     # [N, 4]
+    kinetics: jax.Array,     # [N, 4] ([N, 5] with age for the covariate model)
     timepoints: tuple[float, ...],
     substeps: int,
     interpret: bool,
@@ -306,6 +312,8 @@ def _population_sse_and_grad_impl(
     g_total, n_ind = betas.shape
     p = net.num_params
     k = len(timepoints)
+    n_kin = kinetics.shape[-1]
+    with_age = n_kin == 5
     block = min(LANE_BLOCK, _round_up(g_total, 128))
     g_pad = _round_up(g_total, block)
 
@@ -317,9 +325,10 @@ def _population_sse_and_grad_impl(
     b_t = pad(betas).T                          # [N, Gp]
     g_small = glucose.T.astype(jnp.float32)     # [K, N]
     d_small = data.T.astype(jnp.float32)        # [K, N]
-    kin_small = kinetics.T.astype(jnp.float32)  # [4, N]
+    kin_small = kinetics.T.astype(jnp.float32)  # [4|5, N]
 
-    kernel = _build_population_grad_kernel(net, timepoints, substeps, n_ind)
+    kernel = _build_population_grad_kernel(net, timepoints, substeps, n_ind,
+                                           with_age)
     grid = (g_pad // block,)
 
     f, gnn, gb = pl.pallas_call(
@@ -339,7 +348,7 @@ def _population_sse_and_grad_impl(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((k, n_ind), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, n_ind), lambda i: (0, 0),
+            pl.BlockSpec((n_kin, n_ind), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -371,8 +380,10 @@ def population_sse_and_grad_pallas(
     ``(f[G], gnn[G, P], gbeta[G, N])``.
     """
     check_net_canonical(net)
+    from conditional_ude_tpu.ops.pallas_rk4 import cohort_kinetics
+
     inds = cohort.individuals
-    kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+    kin = cohort_kinetics(cohort, with_age=net.input_dims == 3)
     tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
     return _population_sse_and_grad_impl(
         net, nn_params, betas, inds.glucose, cohort.cpeptide, kin, tp,

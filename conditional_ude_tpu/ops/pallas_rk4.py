@@ -40,19 +40,31 @@ from conditional_ude_tpu.nn import MLP
 LANE_BLOCK = 1024   # lanes per grid program (multiple of 128)
 
 
-def check_net_canonical(net: MLP, input_dims: int = 2) -> None:
+def check_net_canonical(net: MLP, input_dims: int | tuple = (2, 3)) -> None:
     """The fused kernels hard-code tanh hidden layers + a softplus head on
-    ``input_dims`` inputs; reject any other architecture loudly instead of
-    silently screening a different model."""
-    if (net.input_dims != input_dims
+    2 inputs ([ΔG, e^β], canonical cUDE) or 3 ([ΔG, e^β, age], the covariate
+    model of ``c-peptide/07-covariate-inclusion.jl:32``); reject any other
+    architecture loudly instead of silently screening a different model."""
+    allowed = (input_dims,) if isinstance(input_dims, int) else input_dims
+    if (net.input_dims not in allowed
             or any(a != "tanh" for a in net.activations)
             or net.output_activation != "softplus"):
         raise ValueError(
-            f"Pallas c-peptide kernels support only {input_dims}-input MLPs "
+            f"Pallas c-peptide kernels support only {allowed}-input MLPs "
             "with tanh hidden layers and a softplus output head; got "
             f"input_dims={net.input_dims}, activations={net.activations}, "
             f"output_activation={net.output_activation!r}. Use the XLA "
             "path (use_pallas=False / solver kwargs) for this network.")
+
+
+def cohort_kinetics(cohort, with_age: bool) -> jax.Array:
+    """Per-individual kinetic rows ``[N, 4]`` (k0, k1, k2, c0) — plus the
+    age covariate as a 5th column when the model feeds it to the MLP."""
+    inds = cohort.individuals
+    cols = [inds.k0, inds.k1, inds.k2, inds.c0]
+    if with_age:
+        cols.append(inds.age)
+    return jnp.stack(cols, axis=-1)
 
 
 def _mlp_rows(nn_ref, layer_dims):
@@ -83,7 +95,8 @@ def _mlp_forward(layers, x, hidden_act, out_act):
     return h[0]
 
 
-def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int):
+def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int,
+                  with_age: bool = False):
     layer_dims = net.layer_dims
     p = net.num_params
     tp = timepoints
@@ -97,10 +110,13 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int):
         layers = _mlp_rows(rows, layer_dims)
         eb = eb_ref[0]
         k0, k1, k2, c0 = kin_ref[0], kin_ref[1], kin_ref[2], kin_ref[3]
+        # covariate model: age is the 3rd (time-invariant) MLP input, one
+        # scalar per lane carried as the 5th kinetics row
+        extra = [kin_ref[4]] if with_age else []
 
         # baseline production input: ΔG = 0 (hoisted out of the time loop)
         zero = jnp.zeros_like(eb)
-        base = _mlp_forward(layers, [zero, eb], hidden, softplus)
+        base = _mlp_forward(layers, [zero, eb] + extra, hidden, softplus)
 
         # glucose value at absolute time 0 (the ΔG baseline; reference
         # t0 = 0.0, src/c-peptide-models.jl:69-75)
@@ -111,7 +127,7 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], substeps: int):
         g_at0 = (1.0 - w0) * g_ref[j] + w0 * g_ref[j + 1]
 
         def production(dg):
-            out = _mlp_forward(layers, [dg, eb], hidden, softplus)
+            out = _mlp_forward(layers, [dg, eb] + extra, hidden, softplus)
             return out - base
 
         u1 = c0
@@ -163,7 +179,8 @@ def cohort_sse_pallas(
     betas: jax.Array,        # [L] conditional parameters (β, not e^β)
     glucose: jax.Array,      # [L, K] glucose curves
     data: jax.Array,         # [L, K] c-peptide observations
-    kinetics: jax.Array,     # [L, 4] rows (k0, k1, k2, c0)
+    kinetics: jax.Array,     # [L, 4] rows (k0, k1, k2, c0) — [L, 5] with a
+                             # trailing age column for the covariate model
     timepoints: tuple[float, ...],
     substeps: int = 8,
     interpret: bool = False,
@@ -175,6 +192,12 @@ def cohort_sse_pallas(
     (shared observation grid).
     """
     check_net_canonical(net)
+    with_age = net.input_dims == 3
+    n_kin = 4 + int(with_age)
+    if kinetics.shape[-1] != n_kin:
+        raise ValueError(
+            f"kinetics must have {n_kin} columns for a "
+            f"{net.input_dims}-input net, got {kinetics.shape[-1]}")
     l_total = betas.shape[0]
     p = net.num_params
     k = len(timepoints)
@@ -188,14 +211,14 @@ def cohort_sse_pallas(
     nn_t = pad(nn_params).T                       # [P, Lp]
     g_t = pad(glucose).T                          # [K, Lp]
     d_t = pad(data).T                             # [K, Lp]
-    kin_t = pad(kinetics).T                       # [4, Lp]
+    kin_t = pad(kinetics).T                       # [4|5, Lp]
     # guard padded lanes: c0=1, k1=1 avoid 0/0 in u2 init
     if l_pad != l_total:
         kin_t = kin_t.at[1, l_total:].set(1.0)
         kin_t = kin_t.at[3, l_total:].set(1.0)
     eb_t = jnp.exp(pad(betas))[None, :]           # [1, Lp]
 
-    kernel = _build_kernel(net, timepoints, substeps)
+    kernel = _build_kernel(net, timepoints, substeps, with_age)
     grid = (l_pad // block,)
 
     out = pl.pallas_call(
@@ -209,7 +232,7 @@ def cohort_sse_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, block), lambda i: (0, i),
+            pl.BlockSpec((n_kin, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -226,7 +249,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
-                             substeps: int, n_ind: int):
+                             substeps: int, n_ind: int,
+                             with_age: bool = False):
     """Population-loss kernel: lanes are RESTARTS; the individual axis is a
     ``fori_loop`` over per-individual scalars held in SMEM.
 
@@ -259,10 +283,14 @@ def _build_population_kernel(net: MLP, timepoints: tuple[float, ...],
             k2 = kin_smem[2, nidx]
             c0 = kin_smem[3, nidx]
             eb = jnp.exp(b_ref[nidx])                   # (B,) lane row
-            # β only enters layer 1; its partial pre-activations are
+            # β (and the age covariate, when present) only enter layer 1
+            # and are time-invariant; their partial pre-activations are
             # constant across the whole solve — hoist them (the baseline
-            # NN([0, e^β]) is then just tanh of the hoisted sums)
+            # NN([0, e^β, …]) is then just tanh of the hoisted sums)
             s1 = [w1[o][1] * eb + bias1[o] for o in range(fo0)]
+            if with_age:
+                age = kin_smem[4, nidx]
+                s1 = [s1[o] + w1[o][2] * age for o in range(fo0)]
             base = _mlp_forward(rest, [hidden(v) for v in s1],
                                 hidden, softplus)
 
@@ -324,7 +352,7 @@ def _population_sse_pallas_impl(
     betas: jax.Array,        # [G, N]
     glucose: jax.Array,      # [N, K] (individual-major)
     data: jax.Array,         # [N, K]
-    kinetics: jax.Array,     # [N, 4]
+    kinetics: jax.Array,     # [N, 4] ([N, 5] with age for the covariate model)
     timepoints: tuple[float, ...],
     substeps: int,
     interpret: bool,
@@ -332,6 +360,8 @@ def _population_sse_pallas_impl(
     g_total, n_ind = betas.shape
     p = net.num_params
     k = len(timepoints)
+    n_kin = kinetics.shape[-1]
+    with_age = n_kin == 5
     block = min(LANE_BLOCK, _round_up(g_total, 128))
     g_pad = _round_up(g_total, block)
 
@@ -343,9 +373,10 @@ def _population_sse_pallas_impl(
     b_t = pad(betas).T                          # [N, Gp]
     g_small = glucose.T.astype(jnp.float32)     # [K, N]
     d_small = data.T.astype(jnp.float32)        # [K, N]
-    kin_small = kinetics.T.astype(jnp.float32)  # [4, N]
+    kin_small = kinetics.T.astype(jnp.float32)  # [4|5, N]
 
-    kernel = _build_population_kernel(net, timepoints, substeps, n_ind)
+    kernel = _build_population_kernel(net, timepoints, substeps, n_ind,
+                                      with_age)
     grid = (g_pad // block,)
 
     out = pl.pallas_call(
@@ -361,7 +392,7 @@ def _population_sse_pallas_impl(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((k, n_ind), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, n_ind), lambda i: (0, 0),
+            pl.BlockSpec((n_kin, n_ind), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, block), lambda i: (0, i),
@@ -389,18 +420,19 @@ def population_sse_pallas(
     """
     check_net_canonical(net)
     inds = cohort.individuals
-    kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)  # [N, 4]
+    kin = cohort_kinetics(cohort, with_age=net.input_dims == 3)
     tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
     return _population_sse_pallas_impl(
         net, nn_inits, betas, inds.glucose, cohort.cpeptide, kin, tp,
         substeps, interpret)
 
 
-def expand_to_lanes(nn_inits: jax.Array, betas: jax.Array, cohort):
+def expand_to_lanes(nn_inits: jax.Array, betas: jax.Array, cohort,
+                    with_age: bool = False):
     """Expand a [restarts] × [individuals] grid to flat kernel lanes.
 
     Shared by the RK4 and Tsit5 lane-level kernels.  Returns
-    ``(nn[L, P], betas[L], glucose[L, K], data[L, K], kinetics[L, 4],
+    ``(nn[L, P], betas[L], glucose[L, K], data[L, K], kinetics[L, 4|5],
     timepoints_tuple)`` with ``L = G·N``.
     """
     g_, n_ = betas.shape[0], betas.shape[1]
@@ -409,15 +441,16 @@ def expand_to_lanes(nn_inits: jax.Array, betas: jax.Array, cohort):
                                                     inds.glucose.shape[-1]))
     data = jnp.broadcast_to(cohort.cpeptide[None], (g_, n_,
                                                     cohort.cpeptide.shape[-1]))
-    kin = jnp.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)  # [N, 4]
-    kin = jnp.broadcast_to(kin[None], (g_, n_, 4))
+    kin = cohort_kinetics(cohort, with_age)                    # [N, 4|5]
+    n_kin = kin.shape[-1]
+    kin = jnp.broadcast_to(kin[None], (g_, n_, n_kin))
     nn_lanes = jnp.broadcast_to(nn_inits[:, None, :],
                                 (g_, n_, nn_inits.shape[-1]))
     tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
     lanes = g_ * n_
     return (nn_lanes.reshape(lanes, -1), betas.reshape(lanes),
             glucose.reshape(lanes, -1), data.reshape(lanes, -1),
-            kin.reshape(lanes, 4), tp)
+            kin.reshape(lanes, n_kin), tp)
 
 
 def screen_population_pallas(
@@ -436,7 +469,8 @@ def screen_population_pallas(
     implementation the expansion-free kernel is tested against.
     """
     g_, n_ = betas.shape[0], betas.shape[1]
-    nn_l, b_l, g_l, d_l, kin_l, tp = expand_to_lanes(nn_inits, betas, cohort)
+    nn_l, b_l, g_l, d_l, kin_l, tp = expand_to_lanes(
+        nn_inits, betas, cohort, with_age=net.input_dims == 3)
     sse = cohort_sse_pallas(net, nn_l, b_l, g_l, d_l, kin_l, tp,
                             substeps, interpret)
     return jnp.mean(sse.reshape(g_, n_), axis=1)

@@ -40,7 +40,7 @@ _FMAX = 10.0
 
 
 def _build_kernel(net: MLP, timepoints: tuple[float, ...], max_steps: int,
-                  rtol: float, atol: float):
+                  rtol: float, atol: float, with_age: bool = False):
     layer_dims = net.layer_dims
     p = net.num_params
     tp = timepoints
@@ -57,9 +57,11 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], max_steps: int,
         layers = _mlp_rows(rows, layer_dims)
         eb = eb_ref[0]
         k0, k1c, k2c, c0 = kin_ref[0], kin_ref[1], kin_ref[2], kin_ref[3]
+        # covariate model: per-lane age as the 3rd MLP input (5th kin row)
+        extra = [kin_ref[4]] if with_age else []
 
         zero = jnp.zeros_like(eb)
-        base = _mlp_forward(layers, [zero, eb], hidden, softplus)
+        base = _mlp_forward(layers, [zero, eb] + extra, hidden, softplus)
 
         # glucose interpolant at per-lane query times (knot times static)
         def g_at(t):
@@ -78,7 +80,8 @@ def _build_kernel(net: MLP, timepoints: tuple[float, ...], max_steps: int,
 
         def rhs(t, v1, v2):
             dg = g_at(t) - g_at0
-            prod = _mlp_forward(layers, [dg, eb], hidden, softplus) - base
+            prod = _mlp_forward(layers, [dg, eb] + extra,
+                                hidden, softplus) - base
             d1 = -(k0 + k2c) * v1 + k1c * v2 + k0 * c0 + prod
             d2 = -k1c * v2 + k2c * v1
             return d1, d2
@@ -220,7 +223,7 @@ def cohort_sse_tsit5_pallas(
     betas: jax.Array,        # [L]
     glucose: jax.Array,      # [L, K]
     data: jax.Array,         # [L, K]
-    kinetics: jax.Array,     # [L, 4] (k0, k1, k2, c0)
+    kinetics: jax.Array,     # [L, 4] (k0, k1, k2, c0) — [L, 5] with age
     timepoints: tuple[float, ...],
     max_steps: int = 256,
     rtol: float = 1e-3,
@@ -231,6 +234,12 @@ def cohort_sse_tsit5_pallas(
     from conditional_ude_tpu.ops.pallas_rk4 import check_net_canonical
 
     check_net_canonical(net)
+    with_age = net.input_dims == 3
+    n_kin = 4 + int(with_age)
+    if kinetics.shape[-1] != n_kin:
+        raise ValueError(
+            f"kinetics must have {n_kin} columns for a "
+            f"{net.input_dims}-input net, got {kinetics.shape[-1]}")
     l_total = betas.shape[0]
     p = net.num_params
     k = len(timepoints)
@@ -250,7 +259,7 @@ def cohort_sse_tsit5_pallas(
         kin_t = kin_t.at[3, l_total:].set(1.0)
     eb_t = jnp.exp(pad(betas))[None, :]
 
-    kernel = _build_kernel(net, timepoints, max_steps, rtol, atol)
+    kernel = _build_kernel(net, timepoints, max_steps, rtol, atol, with_age)
     grid = (l_pad // block,)
     spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i),  # noqa: E731
                                      memory_space=pltpu.VMEM)
@@ -260,7 +269,7 @@ def cohort_sse_tsit5_pallas(
         out_shape=(jax.ShapeDtypeStruct((1, l_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, l_pad), jnp.bool_)),
         grid=grid,
-        in_specs=[spec(p), spec(k), spec(k), spec(4), spec(1)],
+        in_specs=[spec(p), spec(k), spec(k), spec(n_kin), spec(1)],
         out_specs=(spec(1), spec(1)),
         interpret=interpret,
     )(nn_t, g_t, d_t, kin_t, eb_t)
@@ -281,7 +290,8 @@ def screen_population_tsit5_pallas(
     from conditional_ude_tpu.ops.pallas_rk4 import expand_to_lanes
 
     g_, n_ = betas.shape[0], betas.shape[1]
-    nn_l, b_l, g_l, d_l, kin_l, tp = expand_to_lanes(nn_params, betas, cohort)
+    nn_l, b_l, g_l, d_l, kin_l, tp = expand_to_lanes(
+        nn_params, betas, cohort, with_age=net.input_dims == 3)
     sse, _ = cohort_sse_tsit5_pallas(net, nn_l, b_l, g_l, d_l, kin_l, tp,
                                      max_steps, interpret=interpret)
     return jnp.mean(sse.reshape(g_, n_), axis=1)

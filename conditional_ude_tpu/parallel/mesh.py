@@ -113,7 +113,10 @@ def sharded_screen_pallas(net, nn_inits, betas, cohort, mesh: Mesh,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from conditional_ude_tpu.ops.pallas_rk4 import _population_sse_pallas_impl
+    from conditional_ude_tpu.ops.pallas_rk4 import (
+        _population_sse_pallas_impl,
+        cohort_kinetics,
+    )
 
     interpret = jax.default_backend() != "tpu"
     # the cohort DATA crosses the jit boundary as replicated traced
@@ -122,7 +125,7 @@ def sharded_screen_pallas(net, nn_inits, betas, cohort, mesh: Mesh,
     # every same-shape cohort would repay the compile); only the static
     # time grid stays closure-side — the kernel needs it concrete
     inds = cohort.individuals
-    kin = jax.numpy.stack([inds.k0, inds.k1, inds.k2, inds.c0], axis=-1)
+    kin = cohort_kinetics(cohort, with_age=net.input_dims == 3)
     tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
     fn = shard_map(
         lambda nn_, b_, gl_, cp_, kin_: _population_sse_pallas_impl(
@@ -133,6 +136,49 @@ def sharded_screen_pallas(net, nn_inits, betas, cohort, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(fn)(nn_inits, betas, inds.glucose, cohort.cpeptide, kin)
+
+
+def sharded_screen_tsit5_pallas(net, nn_params, betas, cohort, mesh: Mesh,
+                                axis_name: str = "restarts",
+                                max_steps: int = 256) -> jax.Array:
+    """Multi-chip adaptive-Tsit5 population evaluation: the fused kernel of
+    ``ops/pallas_tsit5.py`` under ``shard_map`` over the restart axis (the
+    tolerance-parity ranking pass of ``train_conditional``).  Each chip
+    expands ITS restart shard to (restart × individual) lanes locally, so
+    the lane blow-up never crosses chips.  ``nn_params [G, P]`` /
+    ``betas [G, N]`` with G divisible by the mesh axis; interpret mode
+    off-TPU (driver dry runs)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from conditional_ude_tpu.ops.pallas_rk4 import cohort_kinetics
+    from conditional_ude_tpu.ops.pallas_tsit5 import cohort_sse_tsit5_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    kin = cohort_kinetics(cohort, with_age=net.input_dims == 3)
+    tp = tuple(float(t) for t in np.asarray(cohort.timepoints))
+    inds = cohort.individuals
+
+    def body(nn_, b_, gl_, cp_, kin_):
+        g_, n_ = b_.shape
+
+        def rep(x):
+            return jnp.broadcast_to(
+                x[None], (g_,) + x.shape).reshape((g_ * n_,) + x.shape[1:])
+
+        nn_l = jnp.broadcast_to(
+            nn_[:, None, :], (g_, n_, nn_.shape[-1])).reshape(g_ * n_, -1)
+        sse, _ = cohort_sse_tsit5_pallas(
+            net, nn_l, b_.reshape(-1), rep(gl_), rep(cp_), rep(kin_), tp,
+            max_steps, interpret=interpret)
+        return jnp.mean(sse.reshape(g_, n_), axis=1)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(axis_name, None), P(axis_name, None),
+                             P(), P(), P()),
+                   out_specs=P(axis_name), check_vma=False)
+    return jax.jit(fn)(nn_params, betas, inds.glucose, cohort.cpeptide, kin)
 
 
 def shard_cohort(cohort: Any, mesh: Mesh,

@@ -152,6 +152,9 @@ def run_conditional_pipeline(args, cfg, artifact_name: str,
                                     jax.random.key(args.seed), cfg)
         return {"nn_params": res.nn_params, "betas": res.betas,
                 "objectives": res.objectives, "idx_fit": np.asarray(idx_fit),
+                "orientations": (np.zeros(0, np.float32)
+                                 if res.orientations is None
+                                 else np.asarray(res.orientations)),
                 "seconds": np.asarray(t.seconds)}
 
     art = cached(args.artifacts / artifact_name, compute,
@@ -174,6 +177,18 @@ def run_conditional_pipeline(args, cfg, artifact_name: str,
     best = select_best(objectives)
     nn_best = candidates[best]
     betas_best = np.asarray(betas_cand[best]).ravel()
+
+    # canonical β-gauge of the selected model (train_conditional emits it;
+    # artifacts trained before the gauge fix recompute it here) — all β
+    # correlation/aggregation analyses use orientation * β
+    from conditional_ude_tpu.models.cpeptide import production_orientation
+
+    if "orientations" in art and art["orientations"] is not None \
+            and np.asarray(art["orientations"]).size:
+        orientation = float(np.asarray(art["orientations"])[best])
+    else:
+        orientation = float(production_orientation(
+            model, nn_best, age=float(np.mean(train.ages))))
 
     # (β, σ) re-estimation, bounds = training-β range ±10% (:91-106)
     lb = betas_best.min() - 0.1 * abs(betas_best.min())
@@ -198,6 +213,7 @@ def run_conditional_pipeline(args, cfg, artifact_name: str,
         cohort_test=cohort_test, idx_fit=idx_fit, idx_val=idx_val,
         net=net, model=model, art=art, candidates=candidates,
         betas_cand=betas_cand, best=best, nn_best=nn_best,
+        orientation=orientation,
         lb=float(lb), ub=float(ub),
         b_train=b_train, s_train=s_train, sse_train=sse_train,
         b_test=b_test, s_test=s_test, sse_test=sse_test)

@@ -55,13 +55,16 @@ def main():
     b_test, s_test, sse_test = p.b_test, p.s_test, p.sse_test
     rng = np.random.default_rng(args.seed)
 
-    # correlations β vs clamp indices (:237-239)
+    # correlations β vs clamp indices (:237-239), computed on the
+    # library-oriented index (canonical gauge; raw b_all keeps the model's
+    # own gauge for the simulation sampling below)
     b_all = np.concatenate([b_train, b_test])
+    b_idx = p.orientation * b_all
     corr = {
-        "first_phase": spearman(b_all, np.concatenate(
+        "first_phase": spearman(b_idx, np.concatenate(
             [train.first_phase, test.first_phase])),
-        "age": spearman(b_all, np.concatenate([train.ages, test.ages])),
-        "insulin_sensitivity": spearman(b_all, np.concatenate(
+        "age": spearman(b_idx, np.concatenate([train.ages, test.ages])),
+        "insulin_sensitivity": spearman(b_idx, np.concatenate(
             [train.insulin_sensitivity, test.insulin_sensitivity])),
     }
 
@@ -229,6 +232,7 @@ def main():
         "test_sse_mean": float(sse_test.mean()),
         "beta_bounds": [float(lb), float(ub)],
         "spearman": corr,
+        "beta_orientation": float(p.orientation),
         "identifiability_census_test": census_counts,
         "identifiability_census_all": census_all_counts,
     })

@@ -79,7 +79,11 @@ def run_seed(args, seed: int) -> dict:
                                  f"seeds/cude_neural_parameters_{seed}.npz")
     train, test = p.train, p.test
     sse_train, sse_test = p.sse_train, p.sse_test
-    b_all = np.concatenate([p.b_train, p.b_test])
+    # the pipeline's library-emitted canonical gauge (TrainResult
+    # .orientations / production_orientation) — correlations are computed
+    # on the ORIENTED index, so across-seed aggregation is stable without
+    # any post-hoc alignment in the merge step
+    b_all = p.orientation * np.concatenate([p.b_train, p.b_test])
 
     corr = {
         "first_phase": spearman(b_all, np.concatenate(
@@ -122,6 +126,7 @@ def run_seed(args, seed: int) -> dict:
         "test_sse_median": float(np.median(sse_test)),
         "beta_bounds": [float(p.lb), float(p.ub)],
         "spearman": corr,
+        "library_orientation": float(p.orientation),
         "ude_vs_cude": ude_vs_cude,
     }
 
@@ -134,13 +139,13 @@ def merge(args) -> None:
                  "run `--seeds <s>` first")
     rows = [json.loads(q.read_text()) for q in parts]
 
-    # β-orientation gauge alignment: the conditional parameter enters the
-    # model only through the NN input (conditional_production,
-    # ref src/c-peptide-models.jl:86-94), so training can converge to
-    # either monotone orientation of β — ALL β-vs-index correlations flip
-    # sign together between seeds while their magnitudes are stable.
-    # Align every seed to the reference's convention (first-phase ρ < 0)
-    # before aggregating, and record the per-seed orientation.
+    # β-orientation gauge: since the round-3 gauge fix, per-seed
+    # correlations are computed on the LIBRARY-oriented index
+    # (production_orientation emitted by train_conditional), so the raw
+    # "spearman" values are already stable across seeds.  The clamp-based
+    # alignment (flip so first-phase ρ < 0) is retained as a cross-check:
+    # it should now be a NO-OP, and "beta_orientation" should equal 1.0 for
+    # every seed if the intrinsic gauge matches the clamp-derived one.
     for r in rows:
         s = -1.0 if r["spearman"]["first_phase"] > 0 else 1.0
         r["beta_orientation"] = s

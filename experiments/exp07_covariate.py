@@ -49,7 +49,8 @@ def main():
     b_train, s_train, sse_train = r.b_train, r.s_train, r.sse_train
     b_test, s_test, sse_test = r.b_test, r.s_test, r.sse_test
 
-    b_all = np.concatenate([b_train, b_test])
+    # library-oriented β index (canonical gauge, run_conditional_pipeline)
+    b_all = r.orientation * np.concatenate([b_train, b_test])
     corr = {
         "first_phase": spearman(b_all, np.concatenate(
             [train.first_phase, test.first_phase])),
@@ -82,6 +83,7 @@ def main():
         "train_sse_per_type": per_type_mse(train.types, sse_train),
         "test_sse_per_type": per_type_mse(test.types, sse_test),
         "spearman": corr,
+        "beta_orientation": float(r.orientation),
         "identifiability_census_test": {c: int((census == c).sum())
                                         for c in np.unique(census)},
     })

@@ -90,7 +90,11 @@ def main():
         "beta_mean_train_refit": float(b_tr.mean()),
         "beta_mean_reference_fit": float(betas_fit.mean()),
         "solver_max_abs_delta": float(delta.max()),
-        "solver_agreement_ok": bool(delta.max() < 1e-2),
+        # measured 1.1682e-4 on the committed run; 2e-4 leaves ~1.7x
+        # headroom for platform-to-platform f32 reassociation without
+        # tolerating a real solver regression (r02 verdict weak #4 asked
+        # for a justified bound instead of the former loose 1e-2)
+        "solver_agreement_ok": bool(delta.max() < 2e-4),
     })
 
 

@@ -95,6 +95,12 @@ def main():
                         "the fine grid (written by one-λ-per-process runs, "
                         "the axon-robust pattern) into the _fine sweep CSV "
                         "and metrics")
+    p.add_argument("--selection-sensitivity", action="store_true",
+                   help="no sweep: map the restart-selection-rule × λ "
+                        "interaction over the committed fine-grid artifacts "
+                        "— for each λ, select a restart by validation loss "
+                        "/ validation ρ / combined rank and report the "
+                        "60-subject test-stage ρ for each rule")
     args = p.parse_args()
 
     if args.merge_fine:
@@ -153,7 +159,7 @@ def main():
         rng.uniform(size=(n_valid_inits, data_valid.shape[0])), jnp.float32)
 
     rows, summary = [], {}
-    if args.test_only:
+    if args.test_only or args.selection_sensitivity:
         lambdas = []
         try:
             summary = __import__("json").loads(
@@ -244,7 +250,7 @@ def main():
     ck, _ = load_checkpoint(
         args.artifacts / f"suppression_lambda={test_lambda}.npz")
     lam_rows = [r for r in rows if r["lambda"] == test_lambda]
-    if not lam_rows:
+    if not lam_rows and not args.selection_sensitivity:
         # --test-only: reconstruct the selection quantities by revalidating
         # the cached restart population (deterministic given the artifact)
         theta_v, obj_v = validate_suppression(
@@ -271,16 +277,82 @@ def main():
     n_test_inits = 64 if args.smoke else 1000
     theta_grid = jnp.asarray(rng.uniform(size=n_test_inits), jnp.float32)
 
-    def test_rho(restart):
+    def test_rho_nn(nn_restart):
         xs, _ = validate_suppression_sigma_batch(
-            net, jnp.asarray(ck["nn_params"][restart]),
+            net, jnp.asarray(nn_restart),
             jnp.asarray(data_test), jnp.asarray(tp, jnp.float32),
             theta_grid, cfg.lbfgs_iters)
         return spearman(gt_test, np.asarray(xs[:, 0]))
 
-    rho_test = test_rho(best_r)
+    if args.selection_sensitivity:
+        # -- selection-rule × λ sensitivity map over the committed fine-grid
+        # artifacts (r02 verdict weak #7): the reference's
+        # best-validation-loss rule (suppression/figures.jl:27-41) vs the
+        # best-validation-ρ rule vs a combined rank — each evaluated on the
+        # SAME fresh 60-subject test stage.  Per-restart validation stats
+        # come from suppression_sweep_fine.csv (committed), so only the
+        # test-stage fits are computed here.
+        import csv as _csv
+        import json as _json
+
+        fine_csv = args.results / "suppression_sweep_fine.csv"
+        with fine_csv.open() as f:
+            fine_rows = [{k: (int(v) if k == "restart" else float(v))
+                          for k, v in r.items()}
+                         for r in _csv.DictReader(f)]
+        lams = sorted({r["lambda"] for r in fine_rows})
+        cache: dict = {}
+
+        def rho_for(lam, restart):
+            if (lam, restart) not in cache:
+                ckl, _ = load_checkpoint(
+                    args.artifacts / f"suppression_lambda={lam}.npz")
+                with Timer():
+                    cache[(lam, restart)] = test_rho_nn(
+                        ckl["nn_params"][restart])
+            return cache[(lam, restart)]
+
+        sens_rows = []
+        for lam in lams:
+            lrows = sorted((r for r in fine_rows if r["lambda"] == lam),
+                           key=lambda r: r["restart"])
+            loss_v = np.asarray([r["loss_valid"] for r in lrows])
+            rho_v = np.asarray([r["correlation_valid"] for r in lrows])
+            rank_sum = (np.argsort(np.argsort(loss_v))
+                        + np.argsort(np.argsort(-rho_v)))
+            for rule, sel in (("valid_loss", int(np.argmin(loss_v))),
+                              ("valid_rho", int(np.argmax(rho_v))),
+                              ("combined_rank", int(np.argmin(rank_sum)))):
+                sens_rows.append({
+                    "lambda": lam, "rule": rule, "restart": sel,
+                    "valid_loss": float(loss_v[sel]),
+                    "valid_rho": float(rho_v[sel]),
+                    "test_rho": float(rho_for(lam, sel)),
+                })
+                print(sens_rows[-1], file=sys.stderr)
+
+        write_csv(args.results / "suppression_selection_sensitivity.csv",
+                  sens_rows)
+        by_rule = {rule: [r["test_rho"] for r in sens_rows
+                          if r["rule"] == rule]
+                   for rule in ("valid_loss", "valid_rho", "combined_rank")}
+        block = {
+            "lambdas": lams,
+            "rules": {rule: {"test_rho_mean": float(np.mean(v)),
+                             "test_rho_max": float(np.max(v)),
+                             "best_lambda": float(lams[int(np.argmax(v))])}
+                      for rule, v in by_rule.items()},
+            "rows": sens_rows,
+        }
+        mpath = args.results / "exp_suppression_metrics.json"
+        summary = _json.loads(mpath.read_text()) if mpath.exists() else {}
+        summary["selection_sensitivity"] = block
+        write_metrics(mpath, summary)
+        return
+
+    rho_test = test_rho_nn(ck["nn_params"][best_r])
     rho_test_by_rho = (rho_test if best_r_rho == best_r
-                       else test_rho(best_r_rho))
+                       else test_rho_nn(ck["nn_params"][best_r_rho]))
     print(f"test-stage θ-recovery (λ={test_lambda}): by-loss restart "
           f"{best_r} ρ={rho_test:.3f}; by-valid-ρ restart {best_r_rho} "
           f"ρ={rho_test_by_rho:.3f}", file=sys.stderr)

@@ -64,6 +64,56 @@ def test_train_conditional_recovers_fit(rng):
     assert res.loss_traces.shape == (3, 300)
 
 
+def test_gauge_orientation_emitted_and_invariant(rng):
+    """train_conditional must emit a ±1 orientation per restart, and the
+    ORIENTED β index must be gauge-invariant ACROSS RESTARTS: independently
+    trained (NN, β) solutions of the same data can converge to either
+    monotone gauge, but s_r · β̂_r must rank the individuals consistently
+    (r02 verdict weak #5: across-seed correlation sign flips; β̂ vs β_true
+    is deliberately not asserted — see the NOTE in
+    test_train_conditional_recovers_fit)."""
+    from scipy.stats import spearmanr
+
+    from conditional_ude_tpu.models.cpeptide import production_orientation
+
+    # a STRONGLY β-sensitive generating model (amplified layer-1 β-column):
+    # the default synthetic's β signal is too weak for restarts to agree on
+    # an ordering at all, gauge or no gauge (see the NOTE in
+    # test_train_conditional_recovers_fit)
+    n = 10
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    nn_true = net.init(jax.random.key(42)) * 1.5
+    nn_true = nn_true.at[jnp.array([1, 3, 5, 7])].multiply(3.0)
+    betas_true = np.linspace(-2.2, 0.3, n).astype(np.float32)
+    glucose = 5.0 + np.abs(rng.uniform(0, 5, (n, 5)))
+    ages = rng.uniform(30, 70, n)
+    c0 = build_cohort(glucose, tp, np.full((n, 5), 0.8, np.float32), ages,
+                      np.zeros(n, bool))
+    res0 = simulate_cohort(model, nn_true, jnp.asarray(betas_true)[:, None],
+                           c0)
+    assert bool(res0.success.all())
+    cohort = build_cohort(glucose, tp, np.asarray(res0.ys[:, :, 0]), ages,
+                          np.zeros(n, bool))
+
+    cfg = TrainConfig(initial_guesses=256, selected_initials=4,
+                      adam_iters=300, lbfgs_iters=300, screen_chunk=256)
+    res = train_conditional(model, cohort, jax.random.key(0), cfg)
+
+    assert res.orientations is not None
+    o = np.asarray(res.orientations)
+    assert o.shape == (4,) and set(np.unique(o)) <= {-1.0, 1.0}
+
+    # gauge invariance: the best restart's ORIENTED index must rank the
+    # individuals like the ORIENTED ground truth, whichever gauge training
+    # converged to (measured here: ρ ≈ 0.99 with orientation −1)
+    s_true = float(production_orientation(model, nn_true))
+    rho = spearmanr(o[0] * np.asarray(res.betas[0, :, 0]),
+                    s_true * betas_true).statistic
+    assert rho > 0.9, (rho, o, np.asarray(res.objectives))
+
+
 def test_fit_betas_recovers_conditionals(rng):
     model, net, cohort, nn_true, betas_true = \
         _synthetic_conditional_cohort(rng)
