@@ -36,10 +36,16 @@ def symbolic_production(dg: jax.Array, k: jax.Array) -> jax.Array:
     return 1.78 * dgp / (dgp + k)
 
 
-def beta_to_k(beta: jax.Array) -> jax.Array:
+def beta_to_k(beta_exp: jax.Array) -> jax.Array:
     """Dose-response map from the cUDE conditional parameter to the symbolic
-    Michaelis constant: k = 167·β³ + 21.8 (``03-symreg.jl:55``)."""
-    return 167.0 * beta**3 + 21.8
+    Michaelis constant: k = 167·b³ + 21.8 (``03-symreg.jl:55``).
+
+    ``beta_exp`` is on the NN-input scale e^β — the reference applies the
+    map to the ``Beta`` column of ``data/ohashi_production.csv``, which its
+    script 02 exports already exponentiated (``conditional_production``
+    feeds the NN ``exp.(p.conditional)``, ``src/c-peptide-models.jl:86-94``).
+    Pass ``exp(β)`` when starting from a raw fitted β."""
+    return 167.0 * beta_exp**3 + 21.8
 
 
 def symbolic_model() -> CPeptideModel:

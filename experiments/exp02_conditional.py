@@ -127,8 +127,13 @@ def main():
     prod = np.asarray(jax.vmap(production)(
         jnp.asarray(gg.ravel(), jnp.float32),
         jnp.asarray(bb.ravel(), jnp.float32)))
+    # the reference's CSV carries Beta on the NN-input scale e^β (its
+    # conditional_production exponentiates before the NN;
+    # data/ohashi_production.csv row 2: Beta≈0.0413=e^-3.19) — the symbolic
+    # β→k map 167·Beta³+21.8 (03-symreg.jl:55) is calibrated on that scale
     write_csv(args.artifacts / "ohashi_production.csv", [
-        {"Beta": float(b), "Glucose": float(g), "Production": float(p)}
+        {"Beta": float(np.exp(b)), "Glucose": float(g),
+         "Production": float(p)}
         for b, g, p in zip(bb.ravel(), gg.ravel(), prod)
     ])
 

@@ -549,7 +549,7 @@ def main():
             nn_curves = np.asarray([prod_curve(float(b)) for b in beta_grid])
             sym_curves = np.asarray([
                 symbolic_production(jnp.asarray(dg_grid),
-                                    beta_to_k(jnp.asarray(b)))
+                                    beta_to_k(jnp.exp(jnp.asarray(b))))
                 for b in beta_grid])
             emit(figures.dose_response_compare(dg_grid, nn_curves,
                                                sym_curves, beta_grid),

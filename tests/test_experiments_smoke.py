@@ -18,6 +18,10 @@ from pathlib import Path
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 

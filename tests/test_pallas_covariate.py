@@ -25,6 +25,8 @@ from conditional_ude_tpu.ops.pallas_tsit5 import (
     screen_population_tsit5_pallas,
 )
 
+pytestmark = pytest.mark.slow
+
 SUBSTEPS = 2
 G = 8
 

@@ -23,6 +23,8 @@ from conditional_ude_tpu.models.cpeptide import CPeptideModel, \
 from conditional_ude_tpu.nn import chain
 from conditional_ude_tpu.ops.pallas_grad import population_sse_and_grad_pallas
 
+pytestmark = pytest.mark.slow
+
 SUBSTEPS = 2
 G = 8
 

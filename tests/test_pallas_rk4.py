@@ -13,6 +13,8 @@ from conditional_ude_tpu.ops.pallas_rk4 import (
     screen_population_pallas,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -10,6 +10,8 @@ from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
 from conditional_ude_tpu.nn import chain
 from conditional_ude_tpu.ops.pallas_tsit5 import cohort_sse_tsit5_pallas
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

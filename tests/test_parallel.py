@@ -11,6 +11,10 @@ from conditional_ude_tpu.parallel import (
     shard_leading,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_make_mesh_shapes():
     mesh = make_mesh(("restarts",))

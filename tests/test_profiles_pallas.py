@@ -12,6 +12,10 @@ from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
 from conditional_ude_tpu.nn import chain
 from conditional_ude_tpu.ops import pallas_rk4
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_pallas_profiles_match_standard(rng, monkeypatch):
     n = 5

@@ -15,6 +15,10 @@ from conditional_ude_tpu.models.suppression import (
 )
 from conditional_ude_tpu.utils.stats import spearman
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_theta_recovery_end_to_end():
     rng = np.random.default_rng(27052023)

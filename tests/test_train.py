@@ -20,6 +20,10 @@ from conditional_ude_tpu.models.cpeptide import (
 )
 from conditional_ude_tpu.nn import chain
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _synthetic_conditional_cohort(rng, n=10):
     """Simulate data from a cUDE with known NN + betas, then return the
