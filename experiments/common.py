@@ -82,6 +82,22 @@ def configure_backend(args) -> None:
         args.artifacts = args.artifacts / "smoke"
     print(f"[backend] {jax.default_backend()}", file=sys.stderr)
 
+    # absorb the axon worker cold-start stall HERE, visibly: the first
+    # blocking device sync of a fresh process can stall 20-500 s while the
+    # worker restarts/warms (environmental, independent of our programs —
+    # measured 191 s and 530 s on back-to-back identical runs).  Without
+    # this, the stall lands in whatever stage syncs first (usually the
+    # training screen) and corrupts its wall-clock metric.
+    if jax.default_backend() != "cpu":
+        import time as _time
+
+        t0 = _time.perf_counter()
+        jax.block_until_ready(jax.jit(lambda a: a + 1)(jax.numpy.zeros(8)))
+        dt = _time.perf_counter() - t0
+        print(f"[backend] device warmup sync {dt:.1f}s"
+              + (" (axon cold-start stall)" if dt > 5 else ""),
+              file=sys.stderr)
+
 
 def load_cohorts(data_dir: Path, smoke: bool = False, max_smoke: int = 8):
     """(train, test) OhashiSplits + jax cohorts."""
