@@ -202,6 +202,43 @@ def main():
         log(f"trial {trial}: {solves} solves in {dt:.3f}s -> "
             f"{solves / dt:,.0f} solves/s")
 
+    # -- refinement path: fused value+grad kernel (ops/pallas_grad.py) -------
+    # the path that dominates TRAINING wall-clock is not the gradient-free
+    # screen but the Adam/L-BFGS refinement, whose every iteration is one
+    # fused (value, ∇nn, ∇β) population evaluation; track its throughput in
+    # the same JSON line so a regression there is visible in BENCH_r*.json
+    # (r03 verdict weak #2).  Measured at the production restart count
+    # (TrainConfig.selected_initials = 25 lanes, the actual workload shape).
+    R = 25
+    nn_r = nn_inits[:R]
+    betas_r = betas[:R]
+    if jax.default_backend() == "tpu":
+        from conditional_ude_tpu.ops.pallas_grad import (
+            population_sse_and_grad_pallas,
+        )
+
+        vg = jax.jit(lambda nn, b: population_sse_and_grad_pallas(
+            net, nn, b, cohort, substeps=8))
+    else:
+        def _loss(nn, b):
+            return population_sse(model, nn, b[:, None], cohort,
+                                  solver="rk4", substeps=8)
+
+        vg = jax.jit(jax.vmap(jax.value_and_grad(_loss, argnums=(0, 1))))
+    out_vg = vg(nn_r, betas_r)
+    jax.block_until_ready(out_vg)
+    vg_reps = 300
+    vg_tput = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(vg_reps):
+            out_vg = vg(nn_r, betas_r)
+        jax.block_until_ready(out_vg)
+        dt = time.perf_counter() - t0
+        vg_tput = max(vg_tput, vg_reps * R / dt)
+        log(f"vg trial {trial}: {vg_reps * R} fused value+grad cohort "
+            f"evals in {dt:.3f}s -> {vg_reps * R / dt:,.0f} evals/s")
+
     # -- serial baseline: one trajectory at a time on host CPU ---------------
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -245,6 +282,14 @@ def main():
         "vpu_utilization_pct": round(vpu_util, 2),
         "mxu_bf16_mfu_pct": round(
             100.0 * model_flops_per_sec / mxu_peak, 3),
+        # refinement-path guard: fused (value, ∇nn, ∇β) population
+        # evaluations/s at the production restart count (R=25) — the
+        # per-iteration unit of the Adam/L-BFGS stages that dominate
+        # training wall-clock, and equivalently fused value+grad
+        # trajectory solves/s (each eval = n_individuals fwd+adjoint
+        # trajectory passes)
+        "refine_vg_evals_per_sec": round(vg_tput, 1),
+        "refine_vg_solves_per_sec": round(vg_tput * n_ind, 1),
     }))
 
 

@@ -25,12 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-# node opcodes
-PASS, CONST, VAR0, VAR1, ADD, MUL, INV = range(7)
-_N_OPS = 7
+# node opcodes.  DIV is *protected binary division* — PySR's grammar is
+# binary +,* plus unary inv, which expresses a ratio as ``mul(a, inv(b))``;
+# a unary-inv-only grammar makes Michaelis-Menten forms need deep exact
+# subtrees (the denominator has to materialize under a lone INV child), so
+# rational structures almost never survive tournament selection.  DIV keeps
+# the same expressible family but makes rational forms one node shallower;
+# complexity accounting and ``to_string`` both map it back to PySR's
+# ``mul∘inv`` encoding so Pareto complexities stay comparable with the
+# reference's published table
+# (``symbolic-regression/results/symbolic_regression_result.csv``).
+PASS, CONST, VAR0, VAR1, ADD, MUL, INV, DIV = range(8)
+_N_OPS = 8
 _LEAF_OPS = (CONST, VAR0, VAR1)
 _UNARY_OPS = (INV,)
-_BINARY_OPS = (ADD, MUL)
+_BINARY_OPS = (ADD, MUL, DIV)
 
 
 def n_nodes(depth: int) -> int:
@@ -63,6 +72,20 @@ class SymRegConfig:
                                     # fresh random programs each block
                                     # (tournament takeover otherwise
                                     # collapses diversity within ~30 gens)
+    # selection mode: "pareto" ranks by non-domination over
+    # (loss, complexity) — per-complexity Pareto selection, which keeps a
+    # live niche at every size instead of letting one parsimony scalar
+    # decide the loss/size trade for the whole population; "parsimony" is
+    # the round-3 scalar-penalty behavior
+    selection: str = "pareto"
+    # fraction of random programs seeded with a rational template
+    # (root = DIV with a constant-anchored denominator) — biases the
+    # search toward the reference's rational family without hard-coding
+    # any equation
+    template_frac: float = 0.2
+    # hard PySR-style size cap: programs above this complexity are killed
+    # (PySR maxsize=18, ``symbolic-regression.ipy:21``); None = uncapped
+    max_size: int | None = None
 
 
 class SymRegResult(NamedTuple):
@@ -86,40 +109,47 @@ def evaluate(ops: jax.Array, consts: jax.Array, x: jax.Array,
     Invalid structures (binary op over PASS children) propagate NaN and get
     infinite loss — the evolutionary loop prunes them.
     """
-    m = n_nodes(depth)
     n_pts = x.shape[0]
     batch = ops.shape[:-1]
-    vals = jnp.zeros(batch + (m, n_pts), x.dtype)
 
     x0 = x[:, 0]
     x1 = x[:, 1]
-    nan = jnp.full((n_pts,), jnp.nan, x.dtype)
 
-    for start, end in reversed(_level_slices(depth)):
-        for i in range(start, end):
-            op = ops[..., i]
-            c = consts[..., i, None]
-            if 2 * i + 2 < m:
-                left = vals[..., 2 * i + 1, :]
-                right = vals[..., 2 * i + 2, :]
-            else:
-                left = right = jnp.broadcast_to(nan, batch + (n_pts,))
-            leaf_const = jnp.broadcast_to(c, batch + (n_pts,))
-            val = jnp.select(
-                [op[..., None] == CONST, op[..., None] == VAR0,
-                 op[..., None] == VAR1, op[..., None] == ADD,
-                 op[..., None] == MUL, op[..., None] == INV],
-                [leaf_const, jnp.broadcast_to(x0, batch + (n_pts,)),
-                 jnp.broadcast_to(x1, batch + (n_pts,)), left + right,
-                 left * right, 1.0 / left],
-                jnp.zeros(batch + (n_pts,), x.dtype))   # PASS → 0 (unused)
-            vals = vals.at[..., i, :].set(val)
-    return vals[..., 0, :]
+    # one vectorized pass PER LEVEL, not per node: every node in a level
+    # has the same structure (children are the level below at strides
+    # 0::2 / 1::2), so the whole level is one [batch, width, N] select.
+    # A per-node unroll emits ~7·M large HLO ops, whose XLA compile took
+    # ~142 s at population scale on the single-CPU client; the level form
+    # is depth+1 selects and compiles in seconds with identical numerics.
+    below = None                      # [batch, 2^(lv+1), N]
+    for lv in range(depth, -1, -1):
+        s, e = 2 ** lv - 1, 2 ** (lv + 1) - 1
+        op = ops[..., s:e, None]                     # [batch, w, 1]
+        c = consts[..., s:e, None]
+        if below is None:             # bottom level: no children
+            left = right = jnp.full(batch + (e - s, n_pts), jnp.nan,
+                                    x.dtype)
+        else:
+            left = below[..., 0::2, :]
+            right = below[..., 1::2, :]
+        below = jnp.select(
+            [op == CONST, op == VAR0, op == VAR1, op == ADD,
+             op == MUL, op == INV, op == DIV],
+            [jnp.broadcast_to(c, left.shape),
+             jnp.broadcast_to(x0, left.shape),
+             jnp.broadcast_to(x1, left.shape),
+             left + right, left * right, 1.0 / left, left / right],
+            jnp.zeros(left.shape, x.dtype))   # PASS → 0 (unused)
+    return below[..., 0, :]
 
 
 def complexity_of(ops: jax.Array) -> jax.Array:
-    """Number of active (non-PASS) nodes — PySR's size measure."""
-    return jnp.sum(ops != PASS, axis=-1)
+    """Number of active (non-PASS) nodes — PySR's size measure.
+
+    DIV counts as 2: PySR's grammar writes a ratio as ``mul(a, inv(b))``
+    (two nodes), so counting our single DIV node double keeps complexities
+    directly comparable with the reference's published Pareto table."""
+    return jnp.sum(ops != PASS, axis=-1) + jnp.sum(ops == DIV, axis=-1)
 
 
 def _subtree_mask(depth: int) -> np.ndarray:
@@ -148,7 +178,7 @@ def _structure_ok(ops: jax.Array, depth: int) -> jax.Array:
         else:
             l_on = jnp.zeros_like(op, bool)
             r_on = jnp.zeros_like(op, bool)
-        is_bin = (op == ADD) | (op == MUL)
+        is_bin = (op == ADD) | (op == MUL) | (op == DIV)
         is_un = op == INV
         is_leaf = (op == CONST) | (op == VAR0) | (op == VAR1)
         ok = ok & jnp.where(is_bin, l_on & r_on,
@@ -159,14 +189,23 @@ def _structure_ok(ops: jax.Array, depth: int) -> jax.Array:
 
 
 def _random_programs(key: jax.Array, n: int, depth: int,
-                     const_range: tuple[float, float]):
+                     const_range: tuple[float, float],
+                     template_frac: float = 0.0):
     """Grow-style random program batch: each node is a leaf with increasing
-    probability by depth; structure repaired to validity."""
+    probability by depth; structure repaired to validity.
+
+    ``template_frac`` of the programs are seeded with a *rational template*
+    — root forced to DIV with a constant-anchored ADD denominator (the
+    numerator and the rest of the denominator stay random grow subtrees).
+    This biases initial populations toward the rational family the
+    reference's PySR run surfaces (Michaelis-Menten-like forms,
+    ``symbolic_regression_result.csv:12``) without seeding any specific
+    equation."""
     m = n_nodes(depth)
-    k_op, k_leaf, k_const, k_kill = jax.random.split(key, 4)
+    k_op, k_leaf, k_const, k_kill, k_tmpl = jax.random.split(key, 5)
     interior = jax.random.choice(
-        k_op, jnp.array([ADD, MUL, INV, CONST, VAR0, VAR1]), (n, m),
-        p=jnp.array([0.25, 0.25, 0.1, 0.1, 0.15, 0.15]))
+        k_op, jnp.array([ADD, MUL, INV, DIV, CONST, VAR0, VAR1]), (n, m),
+        p=jnp.array([0.22, 0.22, 0.06, 0.1, 0.1, 0.15, 0.15]))
     leaves = jax.random.choice(
         k_leaf, jnp.array([CONST, VAR0, VAR1]), (n, m),
         p=jnp.array([0.34, 0.33, 0.33]))
@@ -184,6 +223,13 @@ def _random_programs(key: jax.Array, n: int, depth: int,
     q = jax.random.uniform(k_q, (n, 1), minval=0.15, maxval=0.8)
     kill = jax.random.uniform(k_kill, (n, m)) < q
     ops = jnp.where(kill & ~is_bottom[None, :], leaves, ops)
+    if template_frac > 0.0 and depth >= 2:
+        # rational template: num / (subtree + const); nodes 0/2/6 are the
+        # root, the denominator head, and its right (constant) child
+        tmpl = jax.random.uniform(k_tmpl, (n,)) < template_frac
+        ops = ops.at[:, 0].set(jnp.where(tmpl, DIV, ops[:, 0]))
+        ops = ops.at[:, 2].set(jnp.where(tmpl, ADD, ops[:, 2]))
+        ops = ops.at[:, 6].set(jnp.where(tmpl, CONST, ops[:, 6]))
     ops = repair(ops, depth)
     lo, hi = const_range
     consts = jax.random.uniform(k_const, (n, m), jnp.float32, lo, hi)
@@ -192,27 +238,31 @@ def _random_programs(key: jax.Array, n: int, depth: int,
 
 def repair(ops: jax.Array, depth: int) -> jax.Array:
     """Make structures valid: deactivate children of leaves/PASS, right
-    child of INV; give binary/unary ops missing children (leaf VAR0)."""
-    m = n_nodes(depth)
-    for i in range(m):
-        l_i, r_i = 2 * i + 1, 2 * i + 2
-        if l_i >= m:
+    child of INV; give binary/unary ops missing children (leaf VAR1/VAR0).
+
+    Level-vectorized top-down (same semantics as a per-node descent, but
+    depth+1 array ops instead of ~3·M scatters — the scatter form's eager
+    dispatches and jit graph dominated compile time at population scale)."""
+    for lv in range(depth + 1):
+        s, e = 2 ** lv - 1, 2 ** (lv + 1) - 1
+        op = ops[..., s:e]
+        if lv == depth:
             # bottom level: demote operators to variables
-            op = ops[..., i]
-            is_op = (op == ADD) | (op == MUL) | (op == INV)
-            ops = ops.at[..., i].set(jnp.where(is_op, VAR1, op))
+            is_op = ((op == ADD) | (op == MUL) | (op == INV)
+                     | (op == DIV))
+            ops = ops.at[..., s:e].set(jnp.where(is_op, VAR1, op))
             continue
-        op = ops[..., i]
-        is_bin = (op == ADD) | (op == MUL)
+        s2, e2 = 2 ** (lv + 1) - 1, 2 ** (lv + 2) - 1
+        is_bin = (op == ADD) | (op == MUL) | (op == DIV)
         is_un = op == INV
         needs_l = is_bin | is_un
-        l = ops[..., l_i]
-        r = ops[..., r_i]
-        # missing needed children → become VAR1 leaf; unneeded → PASS
-        ops = ops.at[..., l_i].set(
+        l = ops[..., s2:e2:2]
+        r = ops[..., s2 + 1:e2:2]
+        # missing needed children → become VAR1/VAR0 leaf; unneeded → PASS
+        ops = ops.at[..., s2:e2:2].set(
             jnp.where(needs_l & (l == PASS), VAR1,
                       jnp.where(~needs_l, PASS, l)))
-        ops = ops.at[..., r_i].set(
+        ops = ops.at[..., s2 + 1:e2:2].set(
             jnp.where(is_bin & (r == PASS), VAR0,
                       jnp.where(~is_bin, PASS, r)))
     return ops
@@ -233,7 +283,33 @@ def fit_symbolic(
     def loss_of(ops, consts):
         pred = evaluate(ops, consts, x, depth)
         mse = jnp.mean((pred - y[None, :]) ** 2, axis=-1)
-        return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
+        mse = jnp.where(jnp.isfinite(mse), mse, jnp.inf)
+        if cfg.max_size is not None:
+            # PySR-style hard size cap: oversized programs are invalid
+            mse = jnp.where(complexity_of(ops) > cfg.max_size, jnp.inf, mse)
+        return mse
+
+    def fitness_of(losses, comp):
+        """Selection key.  "pareto": NSGA-style non-domination count over
+        (loss, complexity) — a program's fitness is how many programs beat
+        it on both axes, so every complexity niche keeps live members and
+        the loss/size trade is per-complexity instead of one global
+        parsimony scalar.  Ties break by loss rank (then complexity)."""
+        if cfg.selection != "pareto":
+            return losses + cfg.parsimony * complexity_of_f32(comp)
+        l_i, l_j = losses[:, None], losses[None, :]
+        c_i, c_j = comp[:, None], comp[None, :]
+        dom = ((l_j <= l_i) & (c_j <= c_i)
+               & ((l_j < l_i) | (c_j < c_i)))
+        count = jnp.sum(dom, axis=1).astype(jnp.float32)
+        n_p = losses.shape[0]
+        order = jnp.lexsort((comp, losses))       # by loss, then size
+        rank = jnp.zeros((n_p,), jnp.float32).at[order].set(
+            jnp.arange(n_p, dtype=jnp.float32))
+        return count * n_p + rank
+
+    def complexity_of_f32(comp):
+        return comp.astype(jnp.float32)
 
     def opt_consts(ops, consts, steps):
         """A few gradient steps on the constants of each program."""
@@ -263,9 +339,10 @@ def fit_symbolic(
 
     @jax.jit
     def generation(carry, k):
-        ops, consts = carry
-        losses = loss_of(ops, consts)
-        fitness = losses + cfg.parsimony * complexity_of(ops)
+        # losses ride in the carry: parents were already evaluated as last
+        # generation's children, so only the children cost an evaluate()
+        ops, consts, losses = carry
+        fitness = fitness_of(losses, complexity_of(ops))
 
         k_t1, k_t2, k_mut_sel, k_mut_node, k_mut_op, k_mut_c, k_x, k_xnode \
             = jax.random.split(k, 8)
@@ -293,8 +370,9 @@ def fit_symbolic(
         mut_here = (jax.random.uniform(k_mut_node, (pop, m)) < 2.0 / m) \
             & do_m[:, None]
         new_ops = jax.random.choice(
-            k_mut_op, jnp.array([ADD, MUL, INV, CONST, VAR0, VAR1]),
-            (pop, m), p=jnp.array([0.22, 0.22, 0.12, 0.14, 0.15, 0.15]))
+            k_mut_op, jnp.array([ADD, MUL, INV, DIV, CONST, VAR0, VAR1]),
+            (pop, m),
+            p=jnp.array([0.2, 0.2, 0.07, 0.09, 0.14, 0.15, 0.15]))
         child_ops = jnp.where(mut_here, new_ops, child_ops)
         child_consts = child_consts + jnp.where(
             mut_here, 0.3 * jax.random.normal(k_mut_c, (pop, m)), 0.0)
@@ -309,10 +387,11 @@ def fit_symbolic(
         child_consts = child_consts.at[: cfg.elite].set(consts[elite_idx])
         child_losses = child_losses.at[: cfg.elite].set(losses[elite_idx])
 
-        return (child_ops, child_consts), jnp.min(child_losses)
+        return (child_ops, child_consts, child_losses), jnp.min(child_losses)
 
     k_init, k_gens, k_final = jax.random.split(key, 3)
-    ops, consts = _random_programs(k_init, pop, depth, cfg.const_range)
+    ops, consts = _random_programs(k_init, pop, depth, cfg.const_range,
+                                   cfg.template_frac)
     jit_loss = jax.jit(loss_of)
 
     # hall of fame: best-ever (ops, consts, loss) per complexity level —
@@ -323,6 +402,8 @@ def fit_symbolic(
     def hof_update(ops_a, consts_a, losses_a):
         comp = np.asarray(complexity_of(ops_a))
         losses_np = np.asarray(losses_a)
+        if cfg.max_size is not None:
+            losses_np = np.where(comp > cfg.max_size, np.inf, losses_np)
         for c in np.unique(comp):
             sel = np.flatnonzero(comp == c)
             i = sel[np.argmin(losses_np[sel])]
@@ -332,56 +413,75 @@ def fit_symbolic(
                                np.asarray(ops_a[i]),
                                np.asarray(consts_a[i]))
 
+    # fixed HOF working capacity: the per-block const-opt / loss / inject
+    # programs must see ONE shape across blocks — a growing hall would
+    # recompile them every block, and compiles dominate wall-clock through
+    # the TPU tunnel.  Padding duplicates entry 0 (harmless: hof_update
+    # keeps the per-complexity best, duplicate injections are ordinary
+    # crossover material).
+    hof_cap = (cfg.max_size if cfg.max_size is not None
+               else min(2 * m, 64))
+
+    def hof_arrays():
+        entries = list(hof.values())
+        pad = [entries[0]] * (hof_cap - len(entries))
+        take = (entries + pad)[:hof_cap]
+        return (jnp.asarray(np.stack([v[1] for v in take])),
+                jnp.asarray(np.stack([v[2] for v in take])))
+
     n_blocks = -(-cfg.generations // cfg.block_gens)
     gens_left = cfg.generations
+    losses = jit_loss(ops, consts)
     for blk in range(n_blocks):
         gens = min(cfg.block_gens, gens_left)
         gens_left -= gens
         gen_keys = jax.random.split(jax.random.fold_in(k_gens, blk), gens)
-        (ops, consts), _ = lax.scan(generation, (ops, consts), gen_keys)
+        (ops, consts, losses), _ = lax.scan(
+            generation, (ops, consts, losses), gen_keys)
 
         # constant optimization on the block's best + the hall of fame
-        losses = jit_loss(ops, consts)
         top = jnp.argsort(losses)[: max(cfg.elite, cfg.const_opt_top)]
         consts = consts.at[top].set(
             opt_consts(ops[top], consts[top], cfg.const_opt_steps))
         losses = jit_loss(ops, consts)
         hof_update(ops, consts, losses)
 
-        if hof and blk < n_blocks - 1:
-            h_ops = jnp.asarray(np.stack([v[1] for v in hof.values()]))
-            h_consts = jnp.asarray(np.stack([v[2] for v in hof.values()]))
-            h_consts = opt_consts(h_ops, h_consts, cfg.const_opt_steps)
-            h_losses = jit_loss(h_ops, h_consts)
-            hof_update(h_ops, h_consts, h_losses)
-            # re-inject the hall into the worst population slots: crossover
-            # material for the next block without displacing live elites
-            worst = jnp.argsort(losses)[-h_ops.shape[0]:]
-            ops = ops.at[worst].set(h_ops)
-            consts = consts.at[worst].set(h_consts)
-
-        if blk < n_blocks - 1 and cfg.fresh_frac > 0:
-            # fresh blood against tournament takeover: random programs into
-            # the worst slots just above the HOF re-injections
+        if blk < n_blocks - 1:
+            order = jnp.argsort(losses)      # one ranking for all injections
+            if hof:
+                h_ops, h_consts = hof_arrays()
+                h_consts = opt_consts(h_ops, h_consts, cfg.const_opt_steps)
+                h_losses = jit_loss(h_ops, h_consts)
+                hof_update(h_ops, h_consts, h_losses)
+                # re-inject the hall into the worst population slots:
+                # crossover material for the next block without displacing
+                # live elites
+                h_ops, h_consts = hof_arrays()   # with re-opted constants
+                ops = ops.at[order[-hof_cap:]].set(h_ops)
+                consts = consts.at[order[-hof_cap:]].set(h_consts)
             n_fresh = int(cfg.fresh_frac * pop)
             if n_fresh:
+                # fresh blood against tournament takeover: random programs
+                # into the worst slots just above the HOF re-injections
                 f_ops, f_consts = _random_programs(
                     jax.random.fold_in(k_final, blk), n_fresh, depth,
-                    cfg.const_range)
-                slots = jnp.argsort(jit_loss(ops, consts))[
-                    -(n_fresh + len(hof)):-len(hof) or None]
-                slots = slots[:n_fresh]
+                    cfg.const_range, cfg.template_frac)
+                slots = order[-(n_fresh + hof_cap):-hof_cap]
                 ops = ops.at[slots].set(f_ops)
                 consts = consts.at[slots].set(f_consts)
+            # refresh the carried losses once for the next block's scan
+            losses = jit_loss(ops, consts)
 
     # return the population with the hall of fame appended, so the Pareto
     # front reflects best-ever programs, not just end-of-run survivors
     if hof:
         h_ops = jnp.asarray(np.stack([v[1] for v in hof.values()]))
         h_consts = jnp.asarray(np.stack([v[2] for v in hof.values()]))
+        h_losses = jnp.asarray(np.asarray(
+            [v[0] for v in hof.values()], np.float32))
         ops = jnp.concatenate([ops, h_ops])
         consts = jnp.concatenate([consts, h_consts])
-    losses = jit_loss(ops, consts)
+        losses = jnp.concatenate([losses, h_losses])
 
     return SymRegResult(ops=ops, consts=consts, losses=losses,
                         complexity=complexity_of(ops))
@@ -404,11 +504,21 @@ def to_string(ops: np.ndarray, consts: np.ndarray, node: int = 0) -> str:
                 f"{to_string(ops, consts, 2 * node + 2)})")
     if op == INV:
         return f"inv({to_string(ops, consts, 2 * node + 1)})"
+    if op == DIV:
+        # render in PySR's grammar (mul∘inv) so equation strings stay in
+        # the same +,*,inv language as the reference's published table
+        return (f"({to_string(ops, consts, 2 * node + 1)} * "
+                f"inv({to_string(ops, consts, 2 * node + 2)}))")
     return "?"
 
 
-def pareto_front(result: SymRegResult) -> list[dict]:
-    """PySR-style Pareto table: best loss at each complexity level."""
+def pareto_front(result: SymRegResult,
+                 with_programs: bool = False) -> list[dict]:
+    """PySR-style Pareto table: best loss at each complexity level.
+
+    ``with_programs=True`` attaches each row's raw ``ops``/``consts``
+    arrays so callers can re-evaluate the program on new data with
+    :func:`evaluate` directly (no string parsing / ``eval``)."""
     losses = np.asarray(result.losses)
     comp = np.asarray(result.complexity)
     ops = np.asarray(result.ops)
@@ -420,6 +530,10 @@ def pareto_front(result: SymRegResult) -> list[dict]:
         i = sel[np.argmin(losses[sel])]
         if np.isfinite(losses[i]) and losses[i] < best:
             best = losses[i]
-            rows.append({"complexity": int(c), "loss": float(losses[i]),
-                         "equation": to_string(ops[i], consts[i])})
+            row = {"complexity": int(c), "loss": float(losses[i]),
+                   "equation": to_string(ops[i], consts[i])}
+            if with_programs:
+                row["ops"] = ops[i]
+                row["consts"] = consts[i]
+            rows.append(row)
     return rows

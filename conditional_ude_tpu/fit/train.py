@@ -99,6 +99,10 @@ class TrainResult(NamedTuple):
     # the trained conditional axis has an arbitrary monotone orientation;
     # β analyses use orientations[r] * betas[r])
     orientations: jax.Array | None = None
+    # wall-clock + code-path record: {"screen"/"adam"/"lbfgs"/"final_eval":
+    # seconds, "screen_path"/"refine_path": str} — experiments persist it so
+    # a timing regression is attributable to the path that actually ran
+    timings: dict | None = None
 
 
 def _chunked_map(fn, xs, chunk: int, extra=None):
@@ -480,10 +484,26 @@ def train_conditional(
 
     jax.block_until_ready(objs)
     _t4 = time.perf_counter()
+    # name the code path that actually ran (r03 verdict weak #1: the exp07
+    # timing regression was undiagnosable because nothing logged whether
+    # the fused kernels engaged)
+    timings = {
+        "screen": _t1 - _t0, "adam": _t2 - _t1, "lbfgs": _t3 - _t2,
+        "final_eval": _t4 - _t3,
+        "screen_path": ("fused_pallas+shard_map" if fused_mesh
+                        else "fused_pallas" if use_pallas else "xla_vmap"),
+        "refine_path": ("fused_adjoint+shard_map" if fused_mesh
+                        else "fused_adjoint" if fused_vg is not None
+                        else "xla_reverse_ad"),
+    }
     if cfg.log_timings:
-        print(f"[train_conditional] screen={_t1 - _t0:.1f}s "
-              f"adam={_t2 - _t1:.1f}s lbfgs={_t3 - _t2:.1f}s "
-              f"final_eval={_t4 - _t3:.1f}s", file=sys.stderr)
+        print(f"[train_conditional] screen={timings['screen']:.1f}s "
+              f"adam={timings['adam']:.1f}s lbfgs={timings['lbfgs']:.1f}s "
+              f"final_eval={timings['final_eval']:.1f}s "
+              f"screen_path={timings['screen_path']} "
+              f"refine_path={timings['refine_path']} "
+              f"kind={model.kind} input_dims={model.net.input_dims}",
+              file=sys.stderr)
 
     if k_run != k:
         # drop the shard_map padding replicas before ranking
@@ -509,7 +529,8 @@ def train_conditional(
                        screen_losses=screen[:g_orig],
                        loss_traces=traces[order],
                        orientations=None if orients is None
-                       else orients[order])
+                       else orients[order],
+                       timings=timings)
 
 
 def train_ude(

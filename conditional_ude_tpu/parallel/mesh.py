@@ -233,12 +233,40 @@ def sharded_fit_betas(model, nn_params, cohort, mesh: Mesh,
     return tuple(x[:n] for x in out)
 
 
+def _profile_kernel_ok(model, solver_kwargs) -> bool:
+    """Same fused-kernel eligibility gate as
+    ``analysis.profiles.cohort_beta_profiles``: canonical conditional or
+    covariate model, tanh hidden / softplus head, 'substeps' only."""
+    net = model.net
+    kind_ok = ((model.kind == "conditional" and net is not None
+                and net.input_dims == 2)
+               or (model.kind == "conditional_covariate"
+                   and net is not None and net.input_dims == 3))
+    return (kind_ok
+            and all(a == "tanh" for a in net.activations)
+            and net.output_activation == "softplus"
+            and set(solver_kwargs) <= {"substeps"})
+
+
 def sharded_beta_profiles(model, nn_params, cohort, mesh: Mesh,
                           axis_name: str = "individuals",
-                          sigmas=1.0, center=None, **kwargs):
+                          sigmas=1.0, center=None,
+                          use_pallas: bool | None = None,
+                          lower: float = -4.0, upper: float = 1.0,
+                          steps: int = 10_000, chunk: int = 500,
+                          **solver_kwargs):
     """Cohort likelihood-profile scans sharded over the individuals axis
     (``src/likelihood-profiles.jl`` looped per subject in the reference);
-    each chip scans its population shard over the full β grid."""
+    each chip scans its population shard over the full β grid.
+
+    On TPU the fused Pallas RK4 kernel runs under ``shard_map`` (the
+    Mosaic custom call has no SPMD partitioning rule, so the kernel cannot
+    be fed globally-sharded operands under plain jit — but inside a
+    ``shard_map`` body it sees only its chip-local block, mirroring
+    ``sharded_screen_pallas``): each chip expands (grid-chunk × local
+    individuals) lanes with zero cross-chip communication.  Off-TPU (the
+    driver's virtual mesh dry runs) the kernel runs in interpret mode when
+    forced; the default off-TPU path is the auto-partitioned XLA scan."""
     import jax.numpy as jnp
 
     from conditional_ude_tpu.analysis.profiles import (
@@ -248,22 +276,72 @@ def sharded_beta_profiles(model, nn_params, cohort, mesh: Mesh,
 
     n = cohort.n
     size = mesh.shape[axis_name]
-    # the Pallas kernel is a Mosaic custom call with no SPMD partitioning
-    # rule: feeding it individuals-sharded operands would either fail to
-    # lower or replicate the full lane grid on every chip.  The XLA path
-    # auto-partitions under jit, so it is the multi-chip default here;
-    # callers can still force the kernel via kwargs on a single chip.
-    kwargs.setdefault("use_pallas", False)
+    kernel_ok = _profile_kernel_ok(model, solver_kwargs)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and kernel_ok
+    elif use_pallas and not kernel_ok:
+        raise ValueError(
+            "use_pallas=True requires the canonical conditional or "
+            "covariate model (2- or 3-input tanh/softplus net) and "
+            "supports only the 'substeps' solver kwarg")
+
     cohort_p = pad_cohort(cohort, size)
     sig = jnp.broadcast_to(jnp.asarray(sigmas, jnp.float32), (n,))
-    sig = shard_leading(pad_to_multiple(sig, size), mesh, axis_name)
-    ctr = None
-    if center is not None:
-        ctr = shard_leading(
-            pad_to_multiple(jnp.asarray(center, jnp.float32), size),
-            mesh, axis_name)
-    prof = cohort_beta_profiles(
-        model, nn_params, shard_cohort(cohort_p, mesh, axis_name),
-        sigmas=sig, center=ctr, **kwargs)
-    return Profile(grid=prof.grid, values=prof.values[:n],
-                   minimum=prof.minimum[:n])
+    sig_p = pad_to_multiple(sig, size)
+    ctr = (jnp.zeros((n,), jnp.float32) if center is None
+           else jnp.asarray(center, jnp.float32))
+    ctr_p = pad_to_multiple(ctr, size)
+
+    if not use_pallas:
+        prof = cohort_beta_profiles(
+            model, nn_params, shard_cohort(cohort_p, mesh, axis_name),
+            sigmas=shard_leading(sig_p, mesh, axis_name),
+            center=shard_leading(ctr_p, mesh, axis_name),
+            use_pallas=False, lower=lower, upper=upper, steps=steps,
+            chunk=chunk, **solver_kwargs)
+        return Profile(grid=prof.grid, values=prof.values[:n],
+                       minimum=prof.minimum[:n])
+
+    from jax import shard_map
+    from conditional_ude_tpu.ops.pallas_rk4 import (
+        cohort_kinetics,
+        cohort_sse_pallas,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    substeps = int(solver_kwargs.get("substeps", 8))
+    kin = cohort_kinetics(cohort_p, with_age=model.net.input_dims == 3)
+    tp = tuple(float(t) for t in np.asarray(cohort_p.timepoints))
+    grid = jnp.linspace(lower, upper, steps)
+    n_local = cohort_p.n // size
+    p_dim = nn_params.shape[0]
+
+    def body(nn_, gl_, cp_, kin_, sig_, ctr_, grid_):
+        def expand(x):
+            return jnp.broadcast_to(
+                x[None], (s_chunk,) + x.shape).reshape(
+                    (s_chunk * n_local,) + x.shape[1:])
+
+        parts = []
+        for i in range(0, steps, chunk):
+            g_chunk = grid_[i:i + chunk]
+            s_chunk = g_chunk.shape[0]
+            lanes = cohort_sse_pallas(
+                model.net,
+                jnp.broadcast_to(nn_[None], (s_chunk * n_local, p_dim)),
+                (g_chunk[:, None] + ctr_[None, :]).reshape(-1),
+                expand(gl_), expand(cp_), expand(kin_), tp, substeps,
+                interpret=interpret)
+            vals = lanes.reshape(s_chunk, n_local).T   # [n_local, s_chunk]
+            parts.append(vals / (2.0 * sig_[:, None] ** 2))
+        return jnp.concatenate(parts, axis=1)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name), P()),
+        out_specs=P(axis_name), check_vma=False)
+    values = jax.jit(fn)(nn_params, cohort_p.individuals.glucose,
+                         cohort_p.cpeptide, kin, sig_p, ctr_p, grid)[:n]
+    return Profile(grid=grid, values=values,
+                   minimum=jnp.min(values, axis=1))

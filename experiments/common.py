@@ -166,12 +166,20 @@ def run_conditional_pipeline(args, cfg, artifact_name: str,
         with Timer() as t:
             res = train_conditional(model, cohort_fit,
                                     jax.random.key(args.seed), cfg)
+        tm = res.timings or {}
         return {"nn_params": res.nn_params, "betas": res.betas,
                 "objectives": res.objectives, "idx_fit": np.asarray(idx_fit),
                 "orientations": (np.zeros(0, np.float32)
                                  if res.orientations is None
                                  else np.asarray(res.orientations)),
-                "seconds": np.asarray(t.seconds)}
+                "seconds": np.asarray(t.seconds),
+                # stage breakdown + the code paths that actually ran, so a
+                # committed train_seconds is attributable (r03 verdict)
+                "stage_seconds": np.asarray(
+                    [tm.get(k, np.nan) for k in
+                     ("screen", "adam", "lbfgs", "final_eval")], np.float64),
+                "screen_path": np.asarray(tm.get("screen_path", "unknown")),
+                "refine_path": np.asarray(tm.get("refine_path", "unknown"))}
 
     art = cached(args.artifacts / artifact_name, compute,
                  retrain=args.retrain,
@@ -224,9 +232,21 @@ def run_conditional_pipeline(args, cfg, artifact_name: str,
     sse_train = (o_train - (n_t / 2) * np.log(s_train**2)) * (2 * s_train**2)
     sse_test = (o_test - (n_t / 2) * np.log(s_test**2)) * (2 * s_test**2)
 
+    train_timings = None
+    if "stage_seconds" in art:
+        ss = np.asarray(art["stage_seconds"], np.float64)
+        train_timings = {
+            "stage_seconds": dict(zip(
+                ("screen", "adam", "lbfgs", "final_eval"),
+                (None if np.isnan(v) else float(v) for v in ss))),
+            "screen_path": str(art.get("screen_path", "unknown")),
+            "refine_path": str(art.get("refine_path", "unknown")),
+        }
+
     return SimpleNamespace(
         train=train, test=test, cohort_train=cohort_train,
         cohort_test=cohort_test, idx_fit=idx_fit, idx_val=idx_val,
+        train_timings=train_timings,
         net=net, model=model, art=art, candidates=candidates,
         betas_cand=betas_cand, best=best, nn_best=nn_best,
         orientation=orientation,

@@ -228,6 +228,7 @@ def main():
         # includes one-time compile + device cold-start)
         "train_seconds": float(art["seconds"]) if "seconds" in art
         else None,
+        "train_timings": p.train_timings,
         "ude_vs_cude": ude_vs_cude,
         "sampled_simulation_bands": band_stats,
         "objective_best": float(art["objectives"][best]),

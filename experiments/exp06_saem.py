@@ -194,6 +194,21 @@ def main():
         "posterior_map_correlation": float(
             np.corrcoef(post_mean_c, maps_c)[0, 1]),
         "posterior_map_spearman": spearman(post_mean_c, maps_c),
+        # the posterior-vs-MAP correlation is EXPECTED to drop in this
+        # mode: the consistent Ω settles ~12× wider than the quirk mode's
+        # (0.69 vs 0.055), so weakly-identified subjects get genuinely
+        # broad/skewed posteriors whose means separate from the mode —
+        # while the quirk mode's tight prior pins every posterior to its
+        # MAP (a trivially high correlation).  The chains themselves are
+        # exact under BOTH scales: pinned against the closed-form
+        # linear-Gaussian posterior in tests/test_saem.py::
+        # test_posterior_chains_match_closed_form_under_both_omega_modes.
+        # Note the consistent mode's MAP fits are BETTER (mse_map_per_type
+        # above vs the quirk block) — the drop is prior width, not error.
+        "posterior_map_correlation_note": (
+            "expected drop vs quirk mode: 12x wider consistent prior "
+            "frees weakly-identified subjects (see tests/test_saem.py "
+            "closed-form test); MAP fits improve"),
     }
 
     write_metrics(args.results / "exp06_metrics.json", metrics)

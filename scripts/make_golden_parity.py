@@ -37,8 +37,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 WEIGHTS = Path("/root/reference/source_data/cude_neural_parameters.jld2")
+UDE_WEIGHTS = Path(
+    "/root/reference/source_data/ude_neural_parameters.jld2")
 CSV_DIR = Path("/root/reference/data/ohashi_csv")
 OUT = REPO / "tests" / "golden" / "reference_parity_golden.npz"
+OUT_UDE = REPO / "tests" / "golden" / "reference_parity_ude_golden.npz"
 
 LN2 = np.log(2.0)
 
@@ -98,6 +101,82 @@ def golden_trajectory(layers, beta, glucose_t, glucose, age, t2dm, c0, tp):
                     rtol=1e-10, atol=1e-13)
     assert sol.success, sol.message
     return sol.y[0]
+
+
+def golden_trajectory_ude(layers, glucose_t, glucose, age, t2dm, c0, tp):
+    """Non-conditional UDE trajectory (production = NN([ΔG]) − NN([0]),
+    ``src/c-peptide-models.jl:77-84``) at DOP853 rtol 1e-10."""
+    from scipy.integrate import solve_ivp
+
+    k0, k1, k2 = np_van_cauter(float(age), bool(t2dm))
+    g0 = float(np.interp(0.0, glucose_t, glucose))
+    base = np_mlp(layers, [0.0])
+
+    def rhs(t, u):
+        dg = float(np.interp(t, glucose_t, glucose)) - g0
+        prod = np_mlp(layers, [dg]) - base
+        return [-(k0 + k2) * u[0] + k1 * u[1] + k0 * c0 + prod,
+                -k1 * u[1] + k2 * u[0]]
+
+    u0 = [float(c0), (k2 / k1) * float(c0)]
+    sol = solve_ivp(rhs, (float(glucose_t[0]), float(tp[-1])), u0,
+                    method="DOP853", t_eval=np.asarray(tp, np.float64),
+                    rtol=1e-10, atol=1e-13)
+    assert sol.success, sol.message
+    return sol.y[0]
+
+
+def make_ude_golden():
+    """Golden fixture for the exp01 non-conditional baseline (r03 verdict
+    weak #6): the reference's cached UDE weights
+    (``ude_neural_parameters.jld2``, read by ``01-non-conditional.jl``;
+    a single trained parameter vector, width 6 / depth 2 / 1 input)
+    simulated on every Ohashi subject at DOP853 ground truth."""
+    import h5py
+
+    from conditional_ude_tpu.data.jld2 import _simplechains_to_flat
+    from conditional_ude_tpu.data.ohashi import load_ohashi
+    from conditional_ude_tpu.nn import chain
+
+    with h5py.File(UDE_WEIGHTS, "r") as f:
+        width = int(f["width"][()])
+        depth = int(f["depth"][()])
+        raw = np.array(f["parameters"])
+
+    net = chain(width, depth, "tanh", input_dims=1)
+    nn = _simplechains_to_flat(raw, net.layer_dims)
+    layers = np_unflatten(nn.astype(np.float64), net.layer_dims)
+    train, test = load_ohashi(CSV_DIR)
+
+    rows = {}
+    for name, split in (("train", train), ("test", test)):
+        tp = np.asarray(split.timepoints, np.float64)
+        traj = np.stack([
+            golden_trajectory_ude(layers, tp, split.glucose[i],
+                                  split.ages[i], split.t2dm[i],
+                                  split.cpeptide[i, 0], tp)
+            for i in range(split.glucose.shape[0])
+        ])
+        sse = np.sum((traj - split.cpeptide) ** 2, axis=1)
+        rows[f"traj_{name}"] = traj.astype(np.float64)
+        rows[f"sse_{name}"] = sse
+        rows[f"types_{name}"] = np.asarray(split.types, dtype="U8")
+        print(f"ude {name}: n={traj.shape[0]} mean per-point MSE "
+              f"{(sse / tp.shape[0]).mean():.5f}", file=sys.stderr)
+
+    OUT_UDE.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(OUT_UDE, nn=nn, width=width, depth=depth,
+                        timepoints=np.asarray(train.timepoints), **rows)
+    meta = {
+        "source_weights": str(UDE_WEIGHTS),
+        "width": width, "depth": depth,
+        "integrator": "scipy.integrate.solve_ivp DOP853 rtol=1e-10 "
+                      "atol=1e-13 (float64, independent NumPy RHS)",
+        "mse_train": float((rows["sse_train"] / 5).mean()),
+        "mse_test": float((rows["sse_test"] / 5).mean()),
+    }
+    OUT_UDE.with_suffix(".json").write_text(json.dumps(meta, indent=2))
+    print(json.dumps(meta))
 
 
 def main():
@@ -168,6 +247,8 @@ def main():
     }
     OUT.with_suffix(".json").write_text(json.dumps(meta, indent=2))
     print(json.dumps(meta))
+
+    make_ude_golden()
 
 
 if __name__ == "__main__":

@@ -172,6 +172,28 @@ def test_sharded_beta_profiles_parity(rng):
                                np.asarray(p0.values), rtol=1e-4)
 
 
+def test_sharded_beta_profiles_pallas_parity(rng):
+    """The shard_map-wrapped fused-kernel profile scan (r03 verdict weak
+    #3: the sharded census previously forced the slow XLA path) matches
+    the single-device XLA scan on the virtual mesh (interpret mode)."""
+    from conditional_ude_tpu.analysis import cohort_beta_profiles
+    from conditional_ude_tpu.parallel import sharded_beta_profiles
+
+    model, net, cohort = _synthetic_cohort(rng, 6)    # padding path
+    nn = net.init(jax.random.key(7))
+    centers = jnp.linspace(-1.2, -0.4, 6)
+    mesh = make_mesh(("individuals",))
+
+    p0 = cohort_beta_profiles(model, nn, cohort, lower=-2.0, upper=2.0,
+                              steps=32, center=centers, use_pallas=False)
+    p1 = sharded_beta_profiles(model, nn, cohort, mesh, lower=-2.0,
+                               upper=2.0, steps=32, chunk=16,
+                               center=centers, use_pallas=True)
+    assert p1.values.shape == (6, 32)
+    np.testing.assert_allclose(np.asarray(p1.values),
+                               np.asarray(p0.values), rtol=2e-4, atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from conditional_ude_tpu.utils.checkpoint import (
         cached,

@@ -157,6 +157,64 @@ def test_golden_mse_within_one_percent(golden):
             assert abs(rel) < 0.01, (name, t, rel)
 
 
+GOLDEN_UDE = (Path(__file__).parent / "golden"
+              / "reference_parity_ude_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def golden_ude():
+    if not GOLDEN_UDE.exists():
+        pytest.skip("ude golden fixture not generated "
+                    "(scripts/make_golden_parity.py)")
+    return np.load(GOLDEN_UDE)
+
+
+def test_golden_ude_trajectory_and_mse_parity(golden_ude):
+    """exp01 golden numbers (r03 verdict weak #6): the reference's cached
+    non-conditional UDE weights (``ude_neural_parameters.jld2``, the
+    artifact ``01-non-conditional.jl`` reads) simulated by this framework
+    must reproduce the DOP853 ground-truth trajectories and land within 1%
+    of the ground-truth per-type MSEs on both Ohashi cohorts."""
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.models.cpeptide import (
+        CPeptideModel,
+        simulate_cohort,
+    )
+    from conditional_ude_tpu.nn import chain
+
+    nn = jnp.asarray(golden_ude["nn"])
+    net = chain(int(golden_ude["width"]), int(golden_ude["depth"]),
+                "tanh", input_dims=1)
+    model = CPeptideModel(kind="ude", net=net)
+    for name, (split, cohort) in _golden_cohorts().items():
+        ref_traj = golden_ude[f"traj_{name}"]
+        betas = jnp.zeros((cohort.n, 0))          # no conditional params
+        res = simulate_cohort(model, nn, betas, cohort)
+        assert bool(np.asarray(res.success).all())
+        traj = np.asarray(res.ys[:, :, 0])
+        # default adaptive tolerance (the reference's own solve class):
+        # these trajectories swing ~5 nmol/L, so rtol 1e-3 accumulates up
+        # to ~4e-2 global error — same class as the reference's own solves
+        assert np.abs(traj - ref_traj).max() < 5e-2, name
+        # tight tolerance must approach the DOP853 truth (the rtol knob
+        # really controls accuracy; bound = float32 accumulation floor)
+        res_t = simulate_cohort(model, nn, betas, cohort, rtol=1e-6,
+                                atol=1e-9, max_steps=4096)
+        assert bool(np.asarray(res_t.success).all())
+        assert np.abs(np.asarray(res_t.ys[:, :, 0])
+                      - ref_traj).max() < 1e-3, name
+
+        sse = np.sum((traj - np.asarray(cohort.cpeptide)) ** 2, axis=1)
+        sse_gold = golden_ude[f"sse_{name}"]
+        types = golden_ude[f"types_{name}"]
+        assert abs(sse.mean() / sse_gold.mean() - 1.0) < 0.01, name
+        for t in np.unique(types):
+            sel = types == t
+            rel = sse[sel].mean() / sse_gold[sel].mean() - 1.0
+            assert abs(rel) < 0.01, (name, t, rel)
+
+
 def test_solver_agreement_at_reference_solution(reference):
     """rtol/atol parity: RK4 throughput path vs tight adaptive solve at the
     reference's weights agree to <1e-2 nmol/L on test trajectories."""

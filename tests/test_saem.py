@@ -108,6 +108,50 @@ def test_posterior_chains_mix_against_wide_prior(rng):
     assert np.all(rhat < 1.2), rhat
 
 
+def test_posterior_chains_match_closed_form_under_both_omega_modes(rng):
+    """r03 verdict weak #4: exp06's posterior-vs-MAP correlation is 0.9999
+    in quirk-Ω mode but 0.46 in the dimensionally-consistent mode — pin
+    WHICH side mis-scales, if any.  On a linear-Gaussian model the posterior
+    of r_i is N(m_i, v) in closed form; the chains must reproduce it at
+    BOTH the quirk-converged prior scale (Ω≈0.055, exp06_metrics.json) and
+    the consistent-converged scale (Ω≈0.69).  Neither mode mis-scales: the
+    exp06 cliff is the *statistics* of prior width — a 12× tighter prior
+    pins posterior mean to the MAP (trivially high correlation), while the
+    consistent prior frees weakly-identified subjects so mean and mode
+    separate — not a chain or MAP bug."""
+    loglik, inds, data, r_true = _linear_gaussian_setup(rng, n=16)
+    theta = jnp.asarray(1.5)
+    sigma = jnp.asarray(0.3)
+    eta = jnp.asarray(0.0)
+    t = data.shape[1]
+    ybar = np.asarray(data).mean(axis=1) - 1.5
+
+    for omega_val in (0.055, 0.69):     # quirk-mode vs consistent-mode scale
+        omega = jnp.asarray(omega_val)
+        prec = t / 0.3**2 + 1.0 / omega_val**2
+        post_mean_cf = (t * ybar / 0.3**2) / prec          # eta = 0
+        post_std_cf = 1.0 / np.sqrt(prec)
+
+        n_mh = 4000
+        chains, _ = posterior_chains(loglik, theta, sigma, inds, data,
+                                     jax.random.key(11),
+                                     jnp.zeros(data.shape[0]),
+                                     eta=eta, omega=omega, n_steps=n_mh)
+        kept = np.asarray(chains[:, n_mh // 2:])
+        # MC error of the mean ~ post_std/sqrt(ESS); bound loosely
+        np.testing.assert_allclose(kept.mean(axis=1), post_mean_cf,
+                                   atol=4.0 * post_std_cf / np.sqrt(50))
+        np.testing.assert_allclose(kept.std(axis=1), post_std_cf,
+                                   rtol=0.35)
+
+        # the Gaussian MAP coincides with the closed-form posterior mean
+        maps = individual_maps(loglik, theta, sigma, inds, data,
+                               jnp.zeros(data.shape[0]), eta=eta,
+                               omega=omega)
+        np.testing.assert_allclose(np.asarray(maps), post_mean_cf,
+                                   atol=5e-3)
+
+
 def test_saem_cude_smoke(rng):
     from conditional_ude_tpu.models.cpeptide import CPeptideModel, build_cohort
     from conditional_ude_tpu.nn import chain

@@ -75,6 +75,53 @@ def test_recovers_product():
     assert front[-1]["loss"] < 1e-3
 
 
+def test_div_semantics_complexity_and_rendering():
+    # DIV(x1, ADD(x0, 2)) == x1 / (x0 + 2); complexity counts DIV as 2
+    # (PySR's mul∘inv encoding) and to_string renders in PySR grammar
+    from conditional_ude_tpu.analysis.symreg import DIV
+
+    ops, consts = _program(2, {
+        0: (DIV, 0), 1: (VAR1, 0), 2: (ADD, 0),
+        5: (VAR0, 0), 6: (CONST, 2.0),
+    })
+    x = jnp.array([[1.0, 6.0], [2.0, 8.0]])
+    out = evaluate(ops, consts, x, 2)
+    np.testing.assert_allclose(out[0], [6 / 3, 8 / 4], rtol=1e-6)
+    # 5 active nodes + 1 for DIV == PySR's mul,x1,inv,add,x0,const = 6
+    assert int(complexity_of(ops)[0]) == 6
+    s = to_string(np.asarray(ops[0]), np.asarray(consts[0]))
+    assert s == "(x1 * inv((x0 + 2)))"
+
+
+def test_max_size_kills_oversized_programs():
+    # a cap below the needed complexity forces the front to stay under it
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.5, 3.0, (64, 2)).astype(np.float32)
+    y = x[:, 0] * x[:, 1]
+    cfg = SymRegConfig(depth=3, population=256, generations=20,
+                       const_opt_steps=5, elite=16, max_size=5)
+    res = fit_symbolic(jnp.asarray(x), jnp.asarray(y), jax.random.key(2),
+                       cfg)
+    front = pareto_front(res)
+    assert front and all(r["complexity"] <= 5 for r in front)
+
+
+def test_template_seeding_biases_rational_roots():
+    from conditional_ude_tpu.analysis.symreg import (
+        DIV,
+        _random_programs,
+    )
+
+    ops, _ = _random_programs(jax.random.key(0), 512, 4, (-5.0, 5.0),
+                              template_frac=0.5)
+    frac_div_root = float(np.mean(np.asarray(ops[:, 0]) == DIV))
+    assert frac_div_root > 0.3, frac_div_root
+    ops0, _ = _random_programs(jax.random.key(0), 512, 4, (-5.0, 5.0),
+                               template_frac=0.0)
+    frac0 = float(np.mean(np.asarray(ops0[:, 0]) == DIV))
+    assert frac_div_root > frac0 + 0.2
+
+
 def test_recovers_michaelis_menten_shape():
     # y = 1.78*x1/(x1 + 25): expressible as x1 * inv(x1 + c) * a — check the
     # GP gets close (loss well under the variance of y)
