@@ -263,9 +263,13 @@ def main():
     # (suppression/figures.jl:27-41); that criterion can pick a restart
     # whose θ-ordering is worse than its fit (loss and Spearman ρ are not
     # monotonically related), so the best-validation-ρ restart is reported
-    # alongside as a robustness line
-    best_r = int(np.argmin([r["loss_valid"] for r in lam_rows]))
-    best_r_rho = int(np.argmax([r["correlation_valid"] for r in lam_rows]))
+    # alongside as a robustness line.  (In --selection-sensitivity mode
+    # lam_rows is empty — per-restart stats come from the fine-grid CSV
+    # inside that branch instead.)
+    if lam_rows:
+        best_r = int(np.argmin([r["loss_valid"] for r in lam_rows]))
+        best_r_rho = int(np.argmax([r["correlation_valid"]
+                                    for r in lam_rows]))
 
     n_test = 12 if args.smoke else 60
     per_group = max(1, n_test // len(group_means))

@@ -30,6 +30,33 @@ def test_beta_to_k():
     np.testing.assert_allclose(beta_to_k(jnp.array(1.0)), 188.8, rtol=1e-6)
 
 
+def test_discovered_equation_beats_reference_on_committed_surface():
+    """Regression lock on the in-repo symreg re-discovery: the committed
+    discovered equation must keep beating the reference's published c=16
+    rational on the committed production-surface export."""
+    import csv
+    from pathlib import Path
+
+    from conditional_ude_tpu.models.symbolic import discovered_production
+
+    src = Path(__file__).parent.parent / "artifacts" / "ohashi_production.csv"
+    if not src.exists():
+        import pytest
+
+        pytest.skip("production surface export not present")
+    rows = list(csv.DictReader(src.open()))
+    b = np.array([float(r["Beta"]) for r in rows], np.float32)
+    dg = np.array([float(r["Glucose"]) for r in rows], np.float32)
+    y = np.array([float(r["Production"]) for r in rows], np.float32)
+
+    ours = np.asarray(discovered_production(jnp.asarray(dg), jnp.asarray(b)))
+    ref = 1.7802945 * dg / (21.828821 + 166.73781 * b**3 + dg)
+    mse_ours = float(np.mean((ours - y) ** 2))
+    mse_ref = float(np.mean((ref - y) ** 2))
+    assert mse_ours < mse_ref, (mse_ours, mse_ref)
+    assert mse_ours < 1e-3, mse_ours     # committed full-set class: 5.4e-4
+
+
 def test_fit_k_recovers_ground_truth(rng):
     # simulate a small cohort from the symbolic model with known per-subject
     # k, then re-fit (k, sigma) and check recovery
