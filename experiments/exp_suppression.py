@@ -337,15 +337,31 @@ def main():
 
         write_csv(args.results / "suppression_selection_sensitivity.csv",
                   sens_rows)
-        by_rule = {rule: [r["test_rho"] for r in sens_rows
-                          if r["rule"] == rule]
+        # NaN test_rho = degenerate λ (λ ≥ 1 collapses the NN to a
+        # constant, every restart ties, θ fits are flat and Spearman is
+        # undefined) — summarize NaN-robustly over the non-degenerate λ.
+        # signed vs |ρ|: θ orientation is a GAUGE (like β, see README);
+        # the by-loss rule is gauge-blind and can select an inverted
+        # restart, so the signed mean is the honest robustness measure
+        # for a user who follows the reference's selection verbatim.
+        by_rule = {rule: np.asarray([r["test_rho"] for r in sens_rows
+                                     if r["rule"] == rule])
                    for rule in ("valid_loss", "valid_rho", "combined_rank")}
         block = {
             "lambdas": lams,
-            "rules": {rule: {"test_rho_mean": float(np.mean(v)),
-                             "test_rho_max": float(np.max(v)),
-                             "best_lambda": float(lams[int(np.argmax(v))])}
-                      for rule, v in by_rule.items()},
+            "rules": {rule: {
+                "test_rho_mean": float(np.nanmean(v)),
+                "test_rho_min": float(np.nanmin(v)),
+                "test_rho_max": float(np.nanmax(v)),
+                "test_abs_rho_mean": float(np.nanmean(np.abs(v))),
+                "n_gauge_inverted": int(np.nansum(v < 0)),
+                "n_degenerate_lambda": int(np.isnan(v).sum()),
+                "best_lambda": float(lams[int(np.nanargmax(v))])}
+                for rule, v in by_rule.items()},
+            "note": ("best-validation-loss selection "
+                     "(suppression/figures.jl:27-41) is gauge-blind: at "
+                     "mid-λ it picks θ-inverted restarts (test ρ ≈ -0.8); "
+                     "ρ-aware rules are robust across λ"),
             "rows": sens_rows,
         }
         mpath = args.results / "exp_suppression_metrics.json"
