@@ -57,8 +57,14 @@ def test_exp02_smoke_covers_ude_branch_and_is_reproducible(tmp_path):
     assert np.isfinite(m1["test_sse_mean"])
 
     m2 = _run_exp02_smoke(tmp_path, "b")
-    # train_seconds is wall-clock telemetry, not a model output — everything
-    # else must reproduce bit-for-bit across identical retrains
+    # train_seconds / train_timings are wall-clock telemetry, not model
+    # outputs — everything else must reproduce bit-for-bit across
+    # identical retrains (but the code PATHS inside train_timings must
+    # agree: same config ⇒ same screen/refine path)
+    t1, t2 = m1.pop("train_timings", None), m2.pop("train_timings", None)
+    if t1 is not None and t2 is not None:
+        assert t1["screen_path"] == t2["screen_path"]
+        assert t1["refine_path"] == t2["refine_path"]
     m1.pop("train_seconds", None)
     m2.pop("train_seconds", None)
     assert m1 == m2, "exp02 smoke metrics differ across identical retrains"
