@@ -77,6 +77,73 @@ def symbolic_model() -> CPeptideModel:
     )
 
 
+def discovered_model() -> CPeptideModel:
+    """A :class:`CPeptideModel` whose production head is the IN-REPO
+    discovered rational equation (:func:`discovered_production`);
+    ``params["b"]`` is the per-individual gate on the e^β scale."""
+    return CPeptideModel(
+        kind="analytic",
+        analytic_fn=lambda dg, params: discovered_production(
+            dg, params["b"]),
+    )
+
+
+def fit_b_sigma(
+    cohort: Cohort,
+    lbfgs_iters: int = 1000,
+    initial_b: float = 0.7,
+    initial_sigma: float = 1.0,
+    b_bounds: tuple[float, float] = (1e-3, 50.0),
+    sigma_bounds: tuple[float, float] = (1e-6, 1e3),
+    solver: str = "rk4",
+    solver_max_steps: int = 256,
+    dispatch_chunk: int = 250,
+):
+    """Per-individual (b, σ) fit of the DISCOVERED rational model.
+
+    The in-repo analog of the reference's per-individual k fits
+    (``c-peptide/03-symreg.jl:95-107``) for the equation this repo's own
+    symbolic search surfaces: the complete NN → symbolic-regression →
+    mechanistic-refit loop with no inherited equation.  Unlike
+    :func:`fit_k_sigma` (which keeps the reference's same-box-for-both
+    quirk for parity), b and σ get their own bounds.
+
+    Returns ``(bs[N], sigmas[N], objectives[N])``.
+    """
+    model = discovered_model()
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_chunk(x0s, cohort_, iters, state):
+        def fit_one(x0, ind, data, st):
+            def loss(x):
+                return sse_sigma(model, {"b": x[0]}, x[1], ind,
+                                 cohort_.timepoints, data, solver=solver,
+                                 max_steps=solver_max_steps)
+
+            res = lbfgs_minimize(
+                loss, x0,
+                lower=jnp.asarray([b_bounds[0], sigma_bounds[0]],
+                                  jnp.float32),
+                upper=jnp.asarray([b_bounds[1], sigma_bounds[1]],
+                                  jnp.float32),
+                max_iters=iters, init_state=st)
+            return res.x, res.fval, res.state
+
+        return jax.vmap(fit_one)(x0s, cohort_.individuals,
+                                 cohort_.cpeptide, state)
+
+    xs = jnp.broadcast_to(
+        jnp.array([initial_b, initial_sigma], jnp.float32), (cohort.n, 2))
+    fvals, st = None, None
+    done = 0
+    while done < lbfgs_iters:
+        step = min(dispatch_chunk, lbfgs_iters - done)
+        xs, fvals, st = run_chunk(xs, cohort, step, st)
+        jax.block_until_ready(fvals)
+        done += step
+    return xs[:, 0], xs[:, 1], fvals
+
+
 def fit_k_sigma(
     cohort: Cohort,
     lbfgs_iters: int = 1000,

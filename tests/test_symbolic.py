@@ -85,3 +85,37 @@ def test_fit_k_recovers_ground_truth(rng):
     # 1.78·ΔG/k is nearly scale-degenerate for large k), so allow 12%
     np.testing.assert_allclose(np.asarray(ks), k_true, rtol=0.12)
     assert np.corrcoef(np.asarray(ks), k_true)[0, 1] > 0.99
+
+
+def test_fit_b_recovers_ground_truth(rng):
+    # same recovery check for the in-repo discovered rational model
+    from conditional_ude_tpu.models.symbolic import (
+        discovered_model,
+        fit_b_sigma,
+    )
+
+    n = 6
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    glucose = np.stack([
+        5.0 + np.array([0.0, 4.0, 6.0, 3.0, 1.0]) * (1 + 0.2 * rng.uniform())
+        for _ in range(n)
+    ])
+    ages = rng.uniform(30, 70, n)
+    b_true = np.linspace(0.2, 1.3, n).astype(np.float32)
+
+    model = discovered_model()
+    placeholder = np.full((n, 5), 0.9, np.float32)
+    cohort0 = build_cohort(glucose, tp, placeholder, ages, np.zeros(n, bool))
+
+    def sim_one(b, ind):
+        return simulate(model, {"b": b}, ind,
+                        jnp.asarray(tp, jnp.float32)).ys[:, 0]
+
+    ys = jax.vmap(sim_one)(jnp.asarray(b_true), cohort0.individuals)
+    cohort = build_cohort(glucose, tp, np.asarray(ys), ages,
+                          np.zeros(n, bool))
+
+    bs, sigmas, objs = fit_b_sigma(cohort, lbfgs_iters=300)
+    assert np.isfinite(np.asarray(objs)).all()
+    np.testing.assert_allclose(np.asarray(bs), b_true, rtol=0.1)
+    assert np.corrcoef(np.asarray(bs), b_true)[0, 1] > 0.99
