@@ -605,6 +605,32 @@ def main():
         else:
             skip("symbolic_regression_pareto.png", f"{front_csv} missing")
 
+        # the IN-REPO discovered equation: dose-response vs the NN, and
+        # its per-subject gate b against the first-phase clamp index
+        # (exp_symreg_production; no reference analog — the reference's
+        # equation comes from an external PySR run)
+        from conditional_ude_tpu.models.symbolic import discovered_production
+
+        if nn_best is not None:
+            disc_curves = np.asarray([
+                discovered_production(jnp.asarray(dg_grid),
+                                      jnp.exp(jnp.asarray(b)))
+                for b in beta_grid])
+            emit(figures.dose_response_compare(dg_grid, nn_curves,
+                                               disc_curves, beta_grid),
+                 outdir, "dose_response_neural_discovered.png")
+        disc_fit = art / "discovered_fit.npz"
+        if disc_fit.exists():
+            zb = np.load(disc_fit)
+            if zb["bs"].shape[0] == len(t2_all):
+                emit(figures.correlation_scatter(
+                    zb["bs"], fp_all, types_all, xlabel="b (discovered)",
+                    ylabel="First-phase clamp",
+                    rho=spearman(zb["bs"], fp_all)),
+                    outdir, "discovered_correlation.png")
+        else:
+            skip("discovered_correlation.png", f"{disc_fit} missing")
+
     # -------------------------------------------------------------- external
     if want("external"):
         from conditional_ude_tpu.data.fujita import load_fujita
