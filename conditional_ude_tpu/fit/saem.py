@@ -344,6 +344,45 @@ def saem_symbolic(
                     cohort.individuals, cohort.cpeptide, key, cfg)
 
 
+def discovered_loglik(timepoints: jax.Array, solver: str = "rk4",
+                      substeps: int = 8, max_steps: int = 256) -> LogLikFn:
+    """Log-likelihood of the IN-REPO discovered rational production
+    (``models.symbolic.discovered_production``) with the same log-normal
+    individual map as the reference's symbolic SAEM:
+    b_i = b_pop·e^{η_i} (``src/saem-symreg.jl:51-66`` pattern applied to
+    this repo's own equation)."""
+    from conditional_ude_tpu.models.symbolic import discovered_model
+
+    model = discovered_model()
+
+    def ll(theta, sigma, eta_i, ind, data):
+        b_i = theta * jnp.exp(eta_i)
+        err = sse(model, {"b": b_i}, ind, timepoints, data, solver=solver,
+                  substeps=substeps, max_steps=max_steps)
+        n_i = timepoints.shape[0]
+        val = (-(n_i / 2.0) * jnp.log(sigma**2)
+               - err / (2.0 * sigma**2))
+        return jnp.where(jnp.isfinite(err), val, -jnp.inf)
+
+    return ll
+
+
+def saem_discovered(
+    cohort: Cohort,
+    initial_b: float,
+    key: jax.Array,
+    config: SAEMConfig | None = None,
+) -> SAEMResult:
+    """SAEM mixed-effects estimation of the discovered rational model:
+    η_i random effects (fixed 0 prior mean), (b_pop, σ) fixed effects by
+    5-iteration L-BFGS — the ``saem_symbolic`` pipeline with zero
+    inherited pieces (the equation comes from this repo's GP search)."""
+    cfg = config or SAEMConfig(pop_update_lbfgs=True, update_prior_mean=False)
+    ll = discovered_loglik(cohort.timepoints)
+    return run_saem(ll, jnp.asarray(initial_b, jnp.float32),
+                    cohort.individuals, cohort.cpeptide, key, cfg)
+
+
 # -- post-hoc per-individual estimators (06-saem.jl:102-135) --------------------
 
 def posterior_chains(

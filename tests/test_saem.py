@@ -194,6 +194,26 @@ def test_saem_symbolic_smoke(rng):
     assert float(res.theta) > 0
 
 
+def test_saem_discovered_smoke(rng):
+    from conditional_ude_tpu.fit.saem import saem_discovered
+    from conditional_ude_tpu.models.cpeptide import build_cohort
+
+    n = 4
+    tp = np.array([0.0, 30.0, 60.0, 90.0, 120.0])
+    glucose = 5.0 + rng.uniform(0, 5, (n, 5))
+    cpeptide = 0.5 + rng.uniform(0, 1.5, (n, 5))
+    cohort = build_cohort(glucose, tp, cpeptide, rng.uniform(30, 70, n),
+                          np.zeros(n, bool))
+
+    cfg = SAEMConfig(iterations=4, burnin=2, n_mcmc_steps=2,
+                     pop_update_iters=2, pop_update_lbfgs=True,
+                     update_prior_mean=False)
+    res = saem_discovered(cohort, 0.43, jax.random.key(5), cfg)
+    assert res.random_effects.shape == (n,)
+    assert np.isfinite(float(res.theta))
+    assert float(res.theta) > 0
+
+
 def test_consistent_omega_settles_at_population_std(rng):
     # reference-parity mode blends var(rand) into an Ω used as a *std*
     # (src/saem.jl:70,91 vs :204), which is bistable (collapse or blow-up);
