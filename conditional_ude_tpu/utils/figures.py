@@ -344,6 +344,26 @@ def ablation_curve(fractions, sse_values, ylabel="test SSE (median)"):
     return fig
 
 
+def selection_sensitivity(lambdas, rho_by_rule: dict):
+    """Suppression restart-selection robustness: test-stage Spearman ρ vs
+    λ per selection rule (``exp_suppression --selection-sensitivity``).
+    NaN entries (degenerate λ) break the lines naturally."""
+    import numpy as np
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(4.2, 2.8))
+    palette = [COLORS["NGT"], COLORS["IGT"], COLORS["T2DM"]]
+    for (rule, rho), c in zip(rho_by_rule.items(), palette):
+        ax.plot(np.asarray(lambdas, float), np.asarray(rho, float), "o-",
+                color=c, ms=4, label=rule)
+    ax.axhline(0.0, color="0.7", lw=0.8, zorder=0)
+    ax.set_xscale("symlog", linthresh=1e-2)
+    ax.set_xlabel("λ (L2 regularization)")
+    ax.set_ylabel("test-stage Spearman ρ")
+    ax.legend(frameon=False, fontsize=7)
+    return fig
+
+
 def pareto_front(complexities, losses, chosen: int | None = None):
     """Symbolic-regression Pareto front (complexity vs loss), mirroring the
     reference's PySR result table

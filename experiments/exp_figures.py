@@ -725,6 +725,25 @@ def main():
         else:
             skip("suppression_model_fit.png",
                  "artifact ground truth does not match regenerated data")
+
+        # restart-selection robustness map (exp_suppression
+        # --selection-sensitivity): the by-loss rule's gauge flips at
+        # mid-λ vs the ρ-aware rules' stability
+        sens_csv = args.results / "suppression_selection_sensitivity.csv"
+        if sens_csv.exists():
+            with sens_csv.open() as f:
+                sens = list(csv.DictReader(f))
+            lams = sorted({float(r["lambda"]) for r in sens})
+            by_rule = {}
+            for rule in ("valid_loss", "valid_rho", "combined_rank"):
+                rho = {float(r["lambda"]): float(r["test_rho"])
+                       for r in sens if r["rule"] == rule}
+                by_rule[rule] = [rho.get(l, float("nan")) for l in lams]
+            emit(figures.selection_sensitivity(lams, by_rule),
+                 outdir, "suppression_selection_sensitivity.png")
+        else:
+            skip("suppression_selection_sensitivity.png",
+                 f"{sens_csv} missing")
     elif want("suppression"):
         skip("suppression section", f"{sup_path} missing")
 
