@@ -43,6 +43,23 @@ class Profile(NamedTuple):
     minimum: jax.Array  # [...] min over the grid
 
 
+def fused_kernel_eligible(model: CPeptideModel, solver_kwargs: dict) -> bool:
+    """Whether the fused Pallas profile kernel covers this configuration:
+    canonical conditional (2-input) or covariate (3-input) model with tanh
+    hidden layers + softplus head, and only the 'substeps' solver kwarg.
+    Single source of truth — ``parallel.mesh.sharded_beta_profiles`` gates
+    on the same predicate."""
+    net = model.net
+    kind_ok = ((model.kind == "conditional" and net is not None
+                and net.input_dims == 2)
+               or (model.kind == "conditional_covariate"
+                   and net is not None and net.input_dims == 3))
+    return (kind_ok
+            and all(a == "tanh" for a in net.activations)
+            and net.output_activation == "softplus"
+            and set(solver_kwargs) <= {"substeps"})
+
+
 def likelihood_profile(
     loss_fn: Callable[[jax.Array], jax.Array],
     lower: float,
@@ -88,20 +105,10 @@ def cohort_beta_profiles(
     ctr = (jnp.zeros((cohort.n,), jnp.float32) if center is None
            else jnp.asarray(center, jnp.float32))
 
-    def _kernel_ok():
-        net = model.net
-        kind_ok = ((model.kind == "conditional" and net is not None
-                    and net.input_dims == 2)
-                   or (model.kind == "conditional_covariate"
-                       and net is not None and net.input_dims == 3))
-        return (kind_ok
-                and all(a == "tanh" for a in net.activations)
-                and net.output_activation == "softplus"
-                and set(solver_kwargs) <= {"substeps"})
-
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and _kernel_ok()
-    elif use_pallas and not _kernel_ok():
+        use_pallas = (jax.default_backend() == "tpu"
+                      and fused_kernel_eligible(model, solver_kwargs))
+    elif use_pallas and not fused_kernel_eligible(model, solver_kwargs):
         raise ValueError(
             "use_pallas=True requires the canonical conditional or "
             "covariate model (2- or 3-input tanh/softplus net) and supports "

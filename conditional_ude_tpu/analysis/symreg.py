@@ -301,11 +301,14 @@ def fit_symbolic(
         c_i, c_j = comp[:, None], comp[None, :]
         dom = ((l_j <= l_i) & (c_j <= c_i)
                & ((l_j < l_i) | (c_j < c_i)))
-        count = jnp.sum(dom, axis=1).astype(jnp.float32)
+        count = jnp.sum(dom, axis=1).astype(jnp.int32)
         n_p = losses.shape[0]
         order = jnp.lexsort((comp, losses))       # by loss, then size
-        rank = jnp.zeros((n_p,), jnp.float32).at[order].set(
-            jnp.arange(n_p, dtype=jnp.float32))
+        rank = jnp.zeros((n_p,), jnp.int32).at[order].set(
+            jnp.arange(n_p, dtype=jnp.int32))
+        # integer key: count*n_p + rank reaches n_p² (2^24 at pop 4096),
+        # where float32 would start collapsing distinct pairs — int32 is
+        # exact up to pop ≈ 46k
         return count * n_p + rank
 
     def complexity_of_f32(comp):
@@ -418,9 +421,12 @@ def fit_symbolic(
     # recompile them every block, and compiles dominate wall-clock through
     # the TPU tunnel.  Padding duplicates entry 0 (harmless: hof_update
     # keeps the per-complexity best, duplicate injections are ordinary
-    # crossover material).
+    # crossover material).  The uncapped bound is the maximum possible
+    # complexity — m nodes plus one extra per DIV, of which at most
+    # (m-1)//2 (the internal-node count) can occur — so the hall can
+    # never silently exceed the working set.
     hof_cap = (cfg.max_size if cfg.max_size is not None
-               else min(2 * m, 64))
+               else m + (m - 1) // 2)
 
     def hof_arrays():
         entries = list(hof.values())

@@ -308,6 +308,27 @@ def saem_cude(
 
 # -- symbolic-model specialization ---------------------------------------------
 
+def _lognormal_scalar_loglik(model, param_key: str, timepoints: jax.Array,
+                             solver: str, substeps: int,
+                             max_steps: int) -> LogLikFn:
+    """Gaussian log-likelihood of a model with ONE scalar population
+    parameter and the log-normal individual map
+    ``param_i = param_pop·e^{η_i}`` (``src/saem-symreg.jl:51-66``);
+    −inf on solver failure.  Shared by the symbolic and discovered
+    productions."""
+
+    def ll(theta, sigma, eta_i, ind, data):
+        p_i = theta * jnp.exp(eta_i)
+        err = sse(model, {param_key: p_i}, ind, timepoints, data,
+                  solver=solver, substeps=substeps, max_steps=max_steps)
+        n_i = timepoints.shape[0]
+        val = (-(n_i / 2.0) * jnp.log(sigma**2)
+               - err / (2.0 * sigma**2))
+        return jnp.where(jnp.isfinite(err), val, -jnp.inf)
+
+    return ll
+
+
 def symbolic_loglik(timepoints: jax.Array, solver: str = "rk4",
                     substeps: int = 8, max_steps: int = 256) -> LogLikFn:
     """Log-likelihood with the log-normal individual map
@@ -315,18 +336,8 @@ def symbolic_loglik(timepoints: jax.Array, solver: str = "rk4",
     # deferred import: models.symbolic itself imports fit.losses
     from conditional_ude_tpu.models.symbolic import symbolic_model
 
-    model = symbolic_model()
-
-    def ll(theta, sigma, eta_i, ind, data):
-        km_i = theta * jnp.exp(eta_i)
-        err = sse(model, {"k": km_i}, ind, timepoints, data, solver=solver,
-                  substeps=substeps, max_steps=max_steps)
-        n_i = timepoints.shape[0]
-        val = (-(n_i / 2.0) * jnp.log(sigma**2)
-               - err / (2.0 * sigma**2))
-        return jnp.where(jnp.isfinite(err), val, -jnp.inf)
-
-    return ll
+    return _lognormal_scalar_loglik(symbolic_model(), "k", timepoints,
+                                    solver, substeps, max_steps)
 
 
 def saem_symbolic(
@@ -353,18 +364,8 @@ def discovered_loglik(timepoints: jax.Array, solver: str = "rk4",
     this repo's own equation)."""
     from conditional_ude_tpu.models.symbolic import discovered_model
 
-    model = discovered_model()
-
-    def ll(theta, sigma, eta_i, ind, data):
-        b_i = theta * jnp.exp(eta_i)
-        err = sse(model, {"b": b_i}, ind, timepoints, data, solver=solver,
-                  substeps=substeps, max_steps=max_steps)
-        n_i = timepoints.shape[0]
-        val = (-(n_i / 2.0) * jnp.log(sigma**2)
-               - err / (2.0 * sigma**2))
-        return jnp.where(jnp.isfinite(err), val, -jnp.inf)
-
-    return ll
+    return _lognormal_scalar_loglik(discovered_model(), "b", timepoints,
+                                    solver, substeps, max_steps)
 
 
 def saem_discovered(

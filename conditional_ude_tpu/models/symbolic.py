@@ -88,6 +88,52 @@ def discovered_model() -> CPeptideModel:
     )
 
 
+def _fit_scalar_sigma(model, param_key, cohort, initial, lower, upper,
+                      lbfgs_iters, solver, solver_max_steps,
+                      dispatch_chunk):
+    """Shared per-individual (scalar, σ) fitter behind :func:`fit_k_sigma`
+    and :func:`fit_b_sigma`: box-bounded L-BFGS on the Gaussian σ-NLL,
+    vmapped over the cohort, run as ``dispatch_chunk``-iteration dispatches
+    (the curvature history threads through the chunks, so chunking never
+    changes the result — one long program over 14-timepoint Fujita solves
+    can get the axon TPU worker killed, same failure mode as
+    ``SuppressionFitConfig.dispatch_chunk``).
+
+    The cohort rides through the jit boundary as traced operands (a
+    closure-captured cohort is baked into the HLO as constants, so the
+    Ohashi and Fujita fits — and every replication seed — would each
+    repay the full compile instead of sharing it; same invariant as
+    ``fit_betas_sigma``).
+    """
+    lower = jnp.asarray(lower, jnp.float32)
+    upper = jnp.asarray(upper, jnp.float32)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_chunk(x0s, cohort_, iters, state):
+        def fit_one(x0, ind, data, st):
+            def loss(x):
+                return sse_sigma(model, {param_key: x[0]}, x[1], ind,
+                                 cohort_.timepoints, data, solver=solver,
+                                 max_steps=solver_max_steps)
+
+            res = lbfgs_minimize(loss, x0, lower=lower, upper=upper,
+                                 max_iters=iters, init_state=st)
+            return res.x, res.fval, res.state
+
+        return jax.vmap(fit_one)(x0s, cohort_.individuals,
+                                 cohort_.cpeptide, state)
+
+    xs = jnp.broadcast_to(jnp.asarray(initial, jnp.float32), (cohort.n, 2))
+    fvals, st = None, None
+    done = 0
+    while done < lbfgs_iters:
+        step = min(dispatch_chunk, lbfgs_iters - done)
+        xs, fvals, st = run_chunk(xs, cohort, step, st)
+        jax.block_until_ready(fvals)
+        done += step
+    return xs[:, 0], xs[:, 1], fvals
+
+
 def fit_b_sigma(
     cohort: Cohort,
     lbfgs_iters: int = 1000,
@@ -110,38 +156,10 @@ def fit_b_sigma(
 
     Returns ``(bs[N], sigmas[N], objectives[N])``.
     """
-    model = discovered_model()
-
-    @partial(jax.jit, static_argnums=(2,))
-    def run_chunk(x0s, cohort_, iters, state):
-        def fit_one(x0, ind, data, st):
-            def loss(x):
-                return sse_sigma(model, {"b": x[0]}, x[1], ind,
-                                 cohort_.timepoints, data, solver=solver,
-                                 max_steps=solver_max_steps)
-
-            res = lbfgs_minimize(
-                loss, x0,
-                lower=jnp.asarray([b_bounds[0], sigma_bounds[0]],
-                                  jnp.float32),
-                upper=jnp.asarray([b_bounds[1], sigma_bounds[1]],
-                                  jnp.float32),
-                max_iters=iters, init_state=st)
-            return res.x, res.fval, res.state
-
-        return jax.vmap(fit_one)(x0s, cohort_.individuals,
-                                 cohort_.cpeptide, state)
-
-    xs = jnp.broadcast_to(
-        jnp.array([initial_b, initial_sigma], jnp.float32), (cohort.n, 2))
-    fvals, st = None, None
-    done = 0
-    while done < lbfgs_iters:
-        step = min(dispatch_chunk, lbfgs_iters - done)
-        xs, fvals, st = run_chunk(xs, cohort, step, st)
-        jax.block_until_ready(fvals)
-        done += step
-    return xs[:, 0], xs[:, 1], fvals
+    return _fit_scalar_sigma(
+        discovered_model(), "b", cohort, [initial_b, initial_sigma],
+        [b_bounds[0], sigma_bounds[0]], [b_bounds[1], sigma_bounds[1]],
+        lbfgs_iters, solver, solver_max_steps, dispatch_chunk)
 
 
 def fit_k_sigma(
@@ -158,51 +176,15 @@ def fit_k_sigma(
 
     Equivalent of the serial loop at ``c-peptide/03-symreg.jl:95-107``
     (reused for Fujita in ``04-symreg-external.jl:48-56``); the reference's
-    bounds apply to both components of the (k, σ) vector.
-
-    The L-BFGS run is split into ``dispatch_chunk``-iteration dispatches
-    (the curvature history threads through the chunks, so chunking never
-    changes the result): one 1000-iteration program over the 14-timepoint
-    Fujita solves is long enough to get the axon TPU worker killed (same
-    failure mode as ``SuppressionFitConfig.dispatch_chunk``).
+    bounds apply to BOTH components of the (k, σ) vector — a quirk kept
+    for parity.
 
     Returns ``(ks[N], sigmas[N], objectives[N])``.
     """
-    model = symbolic_model()
     lb, ub = bounds
-
-    # the cohort rides through the jit boundary as traced operands (a
-    # closure-captured cohort is baked into the HLO as constants, so the
-    # Ohashi and Fujita fits — and every replication seed — would each
-    # repay the full compile instead of sharing it; same invariant as
-    # fit_betas_sigma)
-    @partial(jax.jit, static_argnums=(2,))
-    def run_chunk(x0s, cohort_, iters, state):
-        def fit_one(x0, ind, data, st):
-            def loss(x):
-                return sse_sigma(model, {"k": x[0]}, x[1], ind,
-                                 cohort_.timepoints, data, solver=solver,
-                                 max_steps=solver_max_steps)
-
-            res = lbfgs_minimize(loss, x0,
-                                 lower=jnp.full(2, lb, jnp.float32),
-                                 upper=jnp.full(2, ub, jnp.float32),
-                                 max_iters=iters, init_state=st)
-            return res.x, res.fval, res.state
-
-        return jax.vmap(fit_one)(x0s, cohort_.individuals,
-                                 cohort_.cpeptide, state)
-
-    xs = jnp.broadcast_to(
-        jnp.array([initial_k, initial_sigma], jnp.float32),
-        (cohort.n, 2))
-    fvals, st = None, None
-    done = 0
-    while done < lbfgs_iters:
-        step = min(dispatch_chunk, lbfgs_iters - done)
-        xs, fvals, st = run_chunk(xs, cohort, step, st)
-        jax.block_until_ready(fvals)
-        done += step
-    return xs[:, 0], xs[:, 1], fvals
+    return _fit_scalar_sigma(
+        symbolic_model(), "k", cohort, [initial_k, initial_sigma],
+        [lb, lb], [ub, ub],
+        lbfgs_iters, solver, solver_max_steps, dispatch_chunk)
 
 

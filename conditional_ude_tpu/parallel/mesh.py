@@ -233,21 +233,6 @@ def sharded_fit_betas(model, nn_params, cohort, mesh: Mesh,
     return tuple(x[:n] for x in out)
 
 
-def _profile_kernel_ok(model, solver_kwargs) -> bool:
-    """Same fused-kernel eligibility gate as
-    ``analysis.profiles.cohort_beta_profiles``: canonical conditional or
-    covariate model, tanh hidden / softplus head, 'substeps' only."""
-    net = model.net
-    kind_ok = ((model.kind == "conditional" and net is not None
-                and net.input_dims == 2)
-               or (model.kind == "conditional_covariate"
-                   and net is not None and net.input_dims == 3))
-    return (kind_ok
-            and all(a == "tanh" for a in net.activations)
-            and net.output_activation == "softplus"
-            and set(solver_kwargs) <= {"substeps"})
-
-
 def sharded_beta_profiles(model, nn_params, cohort, mesh: Mesh,
                           axis_name: str = "individuals",
                           sigmas=1.0, center=None,
@@ -272,11 +257,12 @@ def sharded_beta_profiles(model, nn_params, cohort, mesh: Mesh,
     from conditional_ude_tpu.analysis.profiles import (
         Profile,
         cohort_beta_profiles,
+        fused_kernel_eligible,
     )
 
     n = cohort.n
     size = mesh.shape[axis_name]
-    kernel_ok = _profile_kernel_ok(model, solver_kwargs)
+    kernel_ok = fused_kernel_eligible(model, solver_kwargs)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and kernel_ok
     elif use_pallas and not kernel_ok:

@@ -66,20 +66,18 @@ def main():
     steps = 200 if args.smoke else 10_000
     grid = jnp.linspace(0.0, 1000.0, steps)
 
-    def profile_one(ind, data, sig):
-        def nll(k):
-            return sse(model, {"k": k}, ind, cohort.timepoints,
-                       data) / (2.0 * sig**2)
-
-        return jax.vmap(nll)(grid)
-
+    # jit ONCE with the grid chunk as a traced operand — a jit built
+    # inside the loop would close over each chunk and recompile the
+    # 117×250-solve program on every iteration
+    profile_chunk = jax.jit(jax.vmap(
+        lambda ind, d, s, g: jax.vmap(
+            lambda k: sse(model, {"k": k}, ind, cohort.timepoints, d)
+            / (2.0 * s**2))(g),
+        in_axes=(0, 0, 0, None)))
     chunk_vals = []
     for i in range(0, steps, 250):
-        part = jax.jit(jax.vmap(
-            lambda ind, d, s: jax.vmap(
-                lambda k: sse(model, {"k": k}, ind, cohort.timepoints, d)
-                / (2.0 * s**2))(grid[i:i + 250])))(
-            cohort.individuals, cohort.cpeptide, jnp.asarray(sigmas))
+        part = profile_chunk(cohort.individuals, cohort.cpeptide,
+                             jnp.asarray(sigmas), grid[i:i + 250])
         chunk_vals.append(np.asarray(part))
     values = np.concatenate(chunk_vals, axis=1)
     prof = Profile(grid=np.asarray(grid), values=values,

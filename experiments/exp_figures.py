@@ -628,6 +628,10 @@ def main():
                     ylabel="First-phase clamp",
                     rho=spearman(zb["bs"], fp_all)),
                     outdir, "discovered_correlation.png")
+            else:
+                skip("discovered_correlation.png",
+                     f"artifact has {zb['bs'].shape[0]} subjects, "
+                     f"cohort has {len(t2_all)} (stale/smoke artifact)")
         else:
             skip("discovered_correlation.png", f"{disc_fit} missing")
 

@@ -82,13 +82,19 @@ def main():
     steps = 200 if args.smoke else 10_000
     grid = jnp.linspace(1e-3, 10.0, steps)
 
+    # jit ONCE with the grid chunk as a traced operand — a jit built
+    # inside the loop would close over each chunk and recompile the
+    # 117×250-solve program 40 times (same invariant as
+    # analysis/profiles.py's data-polymorphic chunking)
+    profile_chunk = jax.jit(jax.vmap(
+        lambda ind, d, s, g: jax.vmap(
+            lambda b: sse(model, {"b": b}, ind, cohort.timepoints, d)
+            / (2.0 * s**2))(g),
+        in_axes=(0, 0, 0, None)))
     chunk_vals = []
     for i in range(0, steps, 250):
-        part = jax.jit(jax.vmap(
-            lambda ind, d, s: jax.vmap(
-                lambda b: sse(model, {"b": b}, ind, cohort.timepoints, d)
-                / (2.0 * s**2))(grid[i:i + 250])))(
-            cohort.individuals, cohort.cpeptide, jnp.asarray(sigmas))
+        part = profile_chunk(cohort.individuals, cohort.cpeptide,
+                             jnp.asarray(sigmas), grid[i:i + 250])
         chunk_vals.append(np.asarray(part))
     values = np.concatenate(chunk_vals, axis=1)
     prof = Profile(grid=np.asarray(grid), values=values,

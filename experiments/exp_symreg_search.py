@@ -94,11 +94,12 @@ def main():
                         jax.random.key(args.seed + run_idx), cfg)
                 front_r = pareto_front(res, with_programs=True)
                 best_r = front_r[-1] if front_r else None
+                best_str = (f"({best_r['complexity']}, "
+                            f"{round(best_r['loss'], 6)})"
+                            if best_r else "None")
                 print(f"[run {run_idx}] depth={cfg.depth} "
-                      f"pop={cfg.population} {t0.seconds:.0f}s best="
-                      f"{best_r and (best_r['complexity'],
-                                     round(best_r['loss'], 6))}",
-                      file=sys.stderr, flush=True)
+                      f"pop={cfg.population} {t0.seconds:.0f}s "
+                      f"best={best_str}", file=sys.stderr, flush=True)
                 rows_all.extend(front_r)
                 run_idx += 1
 
