@@ -239,6 +239,57 @@ def main():
         log(f"vg trial {trial}: {vg_reps * R} fused value+grad cohort "
             f"evals in {dt:.3f}s -> {vg_reps * R / dt:,.0f} evals/s")
 
+    # -- census path: likelihood-profile scan kernel -------------------------
+    # the third production hot path (10k-grid × N-individual identifiability
+    # census, analysis/profiles.py): lanes = grid-point × individual through
+    # the same fused kernel with the NN replicated per lane
+    S_CHUNK = 500
+    lanes = S_CHUNK * n_ind
+    if jax.default_backend() == "tpu":
+        from conditional_ude_tpu.ops.pallas_rk4 import (
+            cohort_kinetics,
+            cohort_sse_pallas,
+        )
+
+        kin = cohort_kinetics(cohort, with_age=False)
+        tp_t = tuple(float(t) for t in np.asarray(cohort.timepoints))
+        inds = cohort.individuals
+
+        def _expand(x):
+            return jnp.broadcast_to(
+                x[None], (S_CHUNK,) + x.shape).reshape(
+                    (lanes,) + x.shape[1:])
+
+        gl_l, cp_l, kin_l = (_expand(inds.glucose),
+                             _expand(cohort.cpeptide), _expand(kin))
+        nn_l = jnp.broadcast_to(nn_inits[0][None],
+                                (lanes, nn_inits.shape[1]))
+        grid_l = jnp.broadcast_to(
+            jnp.linspace(-4.0, 1.0, S_CHUNK)[:, None],
+            (S_CHUNK, n_ind)).reshape(-1)
+        census = jax.jit(lambda nn, b, gl, cp, kk: cohort_sse_pallas(
+            net, nn, b, gl, cp, kk, tp_t, 8))
+        args_c = (nn_l, grid_l, gl_l, cp_l, kin_l)
+    else:
+        census = jax.jit(jax.vmap(
+            lambda b: population_sse(model, nn_inits[0], b[:, None], cohort,
+                                     solver="rk4", substeps=8)))
+        args_c = (jnp.linspace(-4.0, 1.0, S_CHUNK)[:, None]
+                  * jnp.ones((1, n_ind)),)
+    out_c = census(*args_c)
+    jax.block_until_ready(out_c)
+    census_reps = 60
+    census_tput = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(census_reps):
+            out_c = census(*args_c)
+        jax.block_until_ready(out_c)
+        dt = time.perf_counter() - t0
+        census_tput = max(census_tput, census_reps * lanes / dt)
+        log(f"census trial {trial}: {census_reps * lanes} profile points "
+            f"in {dt:.3f}s -> {census_reps * lanes / dt:,.0f} points/s")
+
     # -- serial baseline: one trajectory at a time on host CPU ---------------
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -290,6 +341,10 @@ def main():
         # trajectory passes)
         "refine_vg_evals_per_sec": round(vg_tput, 1),
         "refine_vg_solves_per_sec": round(vg_tput * n_ind, 1),
+        # census-path guard: profile-scan points (= one trajectory solve
+        # each, lanes = grid × individual) per second through the fused
+        # kernel — the identifiability census's unit of work
+        "census_profile_points_per_sec": round(census_tput, 1),
     }))
 
 
