@@ -122,6 +122,23 @@ def test_template_seeding_biases_rational_roots():
     assert frac_div_root > frac0 + 0.2
 
 
+def test_fit_symbolic_is_deterministic():
+    # same data + same key ⇒ bit-identical result (the committed front is
+    # regenerable): the engine is pure-JAX evolution + deterministic host
+    # hall-of-fame bookkeeping
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.2, 2.0, (48, 2)).astype(np.float32)
+    y = (x[:, 1] / (x[:, 0] + x[:, 1] + 1.0)).astype(np.float32)
+    cfg = SymRegConfig(depth=3, population=256, generations=25,
+                       const_opt_steps=10, elite=16, max_size=18)
+    r1 = fit_symbolic(jnp.asarray(x), jnp.asarray(y), jax.random.key(3), cfg)
+    r2 = fit_symbolic(jnp.asarray(x), jnp.asarray(y), jax.random.key(3), cfg)
+    np.testing.assert_array_equal(np.asarray(r1.ops), np.asarray(r2.ops))
+    np.testing.assert_array_equal(np.asarray(r1.losses),
+                                  np.asarray(r2.losses))
+    assert pareto_front(r1) == pareto_front(r2)
+
+
 def test_recovers_michaelis_menten_shape():
     # y = 1.78*x1/(x1 + 25): expressible as x1 * inv(x1 + c) * a — check the
     # GP gets close (loss well under the variance of y)
