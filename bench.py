@@ -208,8 +208,15 @@ def main():
     # fused (value, ∇nn, ∇β) population evaluation; track its throughput in
     # the same JSON line so a regression there is visible in BENCH_r*.json
     # (r03 verdict weak #2).  Measured at the production restart count
-    # (TrainConfig.selected_initials = 25 lanes, the actual workload shape).
-    R = 25
+    # (TrainConfig.selected_initials, the actual workload shape) — imported
+    # rather than hardcoded so a config drift cannot silently change what
+    # the bench measures (r04 advice).
+    from conditional_ude_tpu.fit.train import TrainConfig
+
+    R = TrainConfig.selected_initials
+    assert R <= nn_inits.shape[0], (
+        f"bench screen pool ({nn_inits.shape[0]}) smaller than "
+        f"TrainConfig.selected_initials ({R})")
     nn_r = nn_inits[:R]
     betas_r = betas[:R]
     if jax.default_backend() == "tpu":

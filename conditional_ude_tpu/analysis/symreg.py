@@ -76,7 +76,12 @@ class SymRegConfig:
     # (loss, complexity) — per-complexity Pareto selection, which keeps a
     # live niche at every size instead of letting one parsimony scalar
     # decide the loss/size trade for the whole population; "parsimony" is
-    # the round-3 scalar-penalty behavior
+    # the round-3 scalar-penalty behavior.  NOTE: "pareto" became the
+    # default in round 4 (together with DIV in the op pool and
+    # template_frac=0.2) — callers wanting the round-3 parsimony behavior
+    # must opt in explicitly.  Validated in __post_init__: anything other
+    # than the two known modes raises instead of silently falling through
+    # to the parsimony branch.
     selection: str = "pareto"
     # fraction of random programs seeded with a rational template
     # (root = DIV with a constant-anchored denominator) — biases the
@@ -86,6 +91,12 @@ class SymRegConfig:
     # hard PySR-style size cap: programs above this complexity are killed
     # (PySR maxsize=18, ``symbolic-regression.ipy:21``); None = uncapped
     max_size: int | None = None
+
+    def __post_init__(self):
+        if self.selection not in ("pareto", "parsimony"):
+            raise ValueError(
+                f"SymRegConfig.selection must be 'pareto' or 'parsimony', "
+                f"got {self.selection!r}")
 
 
 class SymRegResult(NamedTuple):

@@ -351,8 +351,12 @@ def selection_sensitivity(lambdas, rho_by_rule: dict):
     import numpy as np
 
     plt = _plt()
+    import itertools
+
     fig, ax = plt.subplots(figsize=(4.2, 2.8))
-    palette = [COLORS["NGT"], COLORS["IGT"], COLORS["T2DM"]]
+    # cycle, not zip-truncate: a fourth selection rule must still be drawn
+    palette = itertools.cycle(
+        [COLORS["NGT"], COLORS["IGT"], COLORS["T2DM"]])
     for (rule, rho), c in zip(rho_by_rule.items(), palette):
         ax.plot(np.asarray(lambdas, float), np.asarray(rho, float), "o-",
                 color=c, ms=4, label=rule)

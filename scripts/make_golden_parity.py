@@ -172,8 +172,11 @@ def make_ude_golden():
         "width": width, "depth": depth,
         "integrator": "scipy.integrate.solve_ivp DOP853 rtol=1e-10 "
                       "atol=1e-13 (float64, independent NumPy RHS)",
-        "mse_train": float((rows["sse_train"] / 5).mean()),
-        "mse_test": float((rows["sse_test"] / 5).mean()),
+        "n_timepoints": int(rows["traj_train"].shape[1]),
+        "mse_train": float((rows["sse_train"]
+                            / rows["traj_train"].shape[1]).mean()),
+        "mse_test": float((rows["sse_test"]
+                           / rows["traj_test"].shape[1]).mean()),
     }
     OUT_UDE.with_suffix(".json").write_text(json.dumps(meta, indent=2))
     print(json.dumps(meta))
@@ -242,8 +245,11 @@ def main():
         "integrator": "scipy.integrate.solve_ivp DOP853 rtol=1e-10 "
                       "atol=1e-13 (float64, independent NumPy RHS)",
         "beta_bounds": [float(lb), float(ub)],
-        "mse_train": float((rows["sse_train"] / 5).mean()),
-        "mse_test": float((rows["sse_test"] / 5).mean()),
+        "n_timepoints": int(rows["traj_train"].shape[1]),
+        "mse_train": float((rows["sse_train"]
+                            / rows["traj_train"].shape[1]).mean()),
+        "mse_test": float((rows["sse_test"]
+                           / rows["traj_test"].shape[1]).mean()),
     }
     OUT.with_suffix(".json").write_text(json.dumps(meta, indent=2))
     print(json.dumps(meta))
