@@ -81,6 +81,16 @@ def main():
         "train_seconds": float(r.art["seconds"]) if "seconds" in r.art
         else None,
         "train_timings": r.train_timings,
+        # r04 verdict weak #1 closed: the recorded 61s screen (vs exp02's
+        # 10s) was the axon worker's first-device-sync stall landing in
+        # whatever stage syncs first — rerunning warm gives ~4s, and the
+        # isolated kernels measure EQUAL (the 3-input variant slightly
+        # faster: 90M vs 80M solves/s at the same 8192-lane shape).
+        # bench.py now guards covariate_screen_solves_per_sec.
+        "screen_anomaly_note": (
+            "r04's 61s screen was the axon first-sync stall, not the "
+            "covariate kernel; isolated 3-input kernel measures >= the "
+            "2-input one and bench.py guards it"),
         # expected behavior note (r03 verdict weak #1): the covariate model
         # RECEIVES age as an NN input (07-covariate-inclusion.jl:32), so
         # the age signal is explained by the network and spearman(β, age)
