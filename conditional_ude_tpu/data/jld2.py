@@ -65,3 +65,48 @@ def load_reference_cude(path: str | Path):
         "width": width,
         "depth": depth,
     }
+
+
+def load_reference_advi(advi_dir: str | Path):
+    """Load the reference's 25 per-restart ADVI artifacts
+    (``source_data/advi/cude_result_*.jld2``): independent joint ADVI runs,
+    each caching the posterior-mean NN ``parameters`` (converted to this
+    package's layout) and the posterior-mean ``betas`` of the 57-subject
+    stratified training subset (70% of the 82 Ohashi training subjects,
+    ``c-peptide/02-conditional.jl:19``; the subset draw is a Julia-RNG
+    artifact, so per-subject alignment to this package's cohort is not
+    recoverable — compare per-restart gauge moments / quantiles instead).
+
+    Returns a dict with ``parameters`` [R, P], ``betas`` [R, N_fit],
+    ``width``, ``depth``.
+    """
+    import h5py
+
+    advi_dir = Path(advi_dir)
+    paths = sorted(advi_dir.glob("cude_result_*.jld2"),
+                   key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+    if not paths:
+        raise FileNotFoundError(f"no cude_result_*.jld2 under {advi_dir}")
+
+    params, betas = [], []
+    width = depth = None
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            width = int(f["width"][()])
+            depth = int(f["depth"][()])
+            dims = []
+            fan_in = 2
+            for _ in range(depth):
+                dims.append((fan_in, width))
+                fan_in = width
+            dims.append((fan_in, 1))
+            params.append(_simplechains_to_flat(np.array(f["parameters"]),
+                                                dims))
+            betas.append(np.array(f["betas"]))
+
+    return {
+        "parameters": np.stack(params),
+        "betas": np.stack(betas),
+        "width": width,
+        "depth": depth,
+    }

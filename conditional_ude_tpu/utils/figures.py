@@ -333,11 +333,24 @@ def candidate_beta_grid(betas_candidates, index_values, ncols: int = 5):
     return fig
 
 
-def ablation_curve(fractions, sse_values, ylabel="test SSE (median)"):
+def ablation_curve(fractions, sse_values, ylabel="test SSE (median)",
+                   band=None):
     """Performance vs training-data fraction
-    (``supplementary/performance-less-data``)."""
+    (``supplementary/performance-less-data``).
+
+    ``band``: optional ``(lo, hi)`` arrays (e.g. across-seed IQR) drawn as
+    a shaded envelope around the central curve."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(3.6, 2.6))
+    if band is not None:
+        import numpy as np
+
+        lo, hi = band
+        ax.fill_between(np.asarray(fractions, float),
+                        np.asarray(lo, float), np.asarray(hi, float),
+                        color=COLORS["NGT"], alpha=0.2, lw=0,
+                        label="IQR across seeds")
+        ax.legend(frameon=False, fontsize=6)
     ax.plot(fractions, sse_values, "o-", color=COLORS["NGT"], ms=4)
     ax.set_xlabel("fraction of training data")
     ax.set_ylabel(ylabel)

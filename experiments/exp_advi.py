@@ -156,7 +156,7 @@ def main():
         "elbo_final": np.asarray(post.elbo_trace)[:, -1],
     }, metadata={"script": "exp_advi", "model_index": int(best)})
 
-    write_metrics(args.results / "exp_advi_metrics.json", {
+    metrics = {
         "n_restarts": int(n_restarts),
         "joint_seconds": t_joint.seconds,
         "joint_elbo_final_best": float(np.max(np.asarray(
@@ -167,7 +167,68 @@ def main():
         "test_beta_std_median": float(np.median(b_std)),
         "advi_sd_vs_profile_ci_corr": sd_ci_corr,
         "identifiable_fraction": float(ok.mean()),
-    })
+    }
+
+    # -- 3. golden round-trip of the reference's committed ADVI artifacts --
+    # (r04 verdict missing #1: the one cached artifact family never READ).
+    # Each of the 25 files is an independent joint ADVI run over its own
+    # 57-subject stratified subset (c-peptide/02-conditional.jl:19); the
+    # Julia RNG subset draw is unrecoverable, so per-subject pairing is
+    # impossible — instead re-estimate OUR β's at each file's posterior-mean
+    # weights on the full 82-subject train cohort and compare the
+    # per-restart β gauge (mean/std across restarts) and the per-restart
+    # β DISTRIBUTION (quantile-matched correlation/RMSE: their 57 subjects
+    # are a stratified subsample of our 82, so matching quantiles must
+    # agree if both stacks estimate the same posterior means).
+    advi_dir = args.data_dir.parent / "source_data" / "advi"
+    if advi_dir.exists() and not args.smoke:
+        from conditional_ude_tpu.data.jld2 import load_reference_advi
+        from conditional_ude_tpu.fit.train import fit_betas_sigma
+
+        ref = load_reference_advi(advi_dir)
+        assert (ref["width"], ref["depth"]) == (4, 2), \
+            "reference ADVI architecture drifted"
+        with Timer() as t_ref:
+            ours = []
+            for r in range(ref["parameters"].shape[0]):
+                b_r, _s_r, _ = fit_betas_sigma(
+                    model, jnp.asarray(ref["parameters"][r], jnp.float32),
+                    cohort_train, initial_beta=-1.0, lbfgs_iters=500)
+                ours.append(np.asarray(b_r))
+        ours = np.stack(ours)                       # [25, 82]
+        theirs = ref["betas"]                       # [25, 57]
+
+        mean_corr = float(np.corrcoef(ours.mean(1), theirs.mean(1))[0, 1])
+        std_corr = float(np.corrcoef(ours.std(1), theirs.std(1))[0, 1])
+        qs = (np.arange(theirs.shape[1]) + 0.5) / theirs.shape[1]
+        qcorr, qrmse = [], []
+        for r in range(theirs.shape[0]):
+            our_q = np.quantile(ours[r], qs)
+            ref_q = np.sort(theirs[r])
+            qcorr.append(float(np.corrcoef(our_q, ref_q)[0, 1]))
+            qrmse.append(float(np.sqrt(np.mean((our_q - ref_q) ** 2))))
+        metrics["reference_advi_crosscheck"] = {
+            "n_files": int(theirs.shape[0]),
+            "seconds": t_ref.seconds,
+            "restart_beta_mean_corr": mean_corr,
+            "restart_beta_std_corr": std_corr,
+            "quantile_corr_per_restart_median": float(np.median(qcorr)),
+            "quantile_corr_per_restart_min": float(np.min(qcorr)),
+            "quantile_rmse_per_restart_median": float(np.median(qrmse)),
+            "beta_mean_range_ref": [float(theirs.mean(1).min()),
+                                    float(theirs.mean(1).max())],
+            "beta_mean_range_ours": [float(ours.mean(1).min()),
+                                     float(ours.mean(1).max())],
+        }
+        print(f"[exp_advi] reference ADVI cross-check: mean-corr "
+              f"{mean_corr:.3f}, median quantile-corr "
+              f"{float(np.median(qcorr)):.3f}", file=sys.stderr)
+    else:
+        why = "smoke run" if args.smoke else f"not found at {advi_dir}"
+        print(f"[exp_advi] reference ADVI cross-check skipped ({why})",
+              file=sys.stderr)
+
+    write_metrics(args.results / "exp_advi_metrics.json", metrics)
 
 
 if __name__ == "__main__":

@@ -676,10 +676,19 @@ def main():
     if want("ablation") and abl_csv.exists():
         with abl_csv.open() as f:
             rows = list(csv.DictReader(f))
-        emit(figures.ablation_curve(
-            [float(r["fraction"]) for r in rows],
-            [float(r["test_sse_median"]) for r in rows]),
-            outdir, "performance_less_data.png")
+        # multi-seed CSVs carry several rows per fraction: draw the
+        # across-seed median with an IQR band (single-seed CSVs reduce to
+        # the plain curve, the band collapsing onto it)
+        by_frac = {}
+        for r in rows:
+            by_frac.setdefault(float(r["fraction"]), []).append(
+                float(r["test_sse_median"]))
+        fracs = sorted(by_frac)
+        med = [float(np.median(by_frac[f])) for f in fracs]
+        lo = [float(np.percentile(by_frac[f], 25)) for f in fracs]
+        hi = [float(np.percentile(by_frac[f], 75)) for f in fracs]
+        emit(figures.ablation_curve(fracs, med, band=(lo, hi)),
+             outdir, "performance_less_data.png")
     elif want("ablation"):
         skip("performance_less_data.png", f"{abl_csv} missing")
 

@@ -21,7 +21,13 @@ from common import configure_backend,  Timer, make_parser, write_csv, write_metr
 
 
 def main():
-    args = make_parser(__doc__).parse_args()
+    parser = make_parser(__doc__)
+    # independent full searches: the committed front merges across them and
+    # the metrics carry a per-seed block, so the "this repo's search finds
+    # the rational family" claim rests on a distribution, not one GP run
+    # (the reference's PySR result is itself one run)
+    parser.add_argument("--search-seeds", type=int, default=1)
+    args = parser.parse_args()
     configure_backend(args)
 
     import jax
@@ -82,38 +88,19 @@ def main():
                           const_opt_steps=80, elite=48, max_size=18), 2),
         ]
 
-    rows_all = []
-    with Timer():
-        run_idx = 0
-        for cfg, n_seeds in configs:
-            for s in range(n_seeds):
-                t0 = Timer()
-                with t0:
-                    res = fit_symbolic(
-                        jnp.asarray(x_fit), jnp.asarray(y_fit),
-                        jax.random.key(args.seed + run_idx), cfg)
-                front_r = pareto_front(res, with_programs=True)
-                best_r = front_r[-1] if front_r else None
-                best_str = (f"({best_r['complexity']}, "
-                            f"{round(best_r['loss'], 6)})"
-                            if best_r else "None")
-                print(f"[run {run_idx}] depth={cfg.depth} "
-                      f"pop={cfg.population} {t0.seconds:.0f}s "
-                      f"best={best_str}", file=sys.stderr, flush=True)
-                rows_all.extend(front_r)
-                run_idx += 1
-
-    # merge: best loss at each complexity, monotone front
-    merged = {}
-    for r in rows_all:
-        c = r["complexity"]
-        if c not in merged or r["loss"] < merged[c]["loss"]:
-            merged[c] = r
-    front, best = [], np.inf
-    for c in sorted(merged):
-        if merged[c]["loss"] < best:
-            best = merged[c]["loss"]
-            front.append(merged[c])
+    def merge_front(rows):
+        # best loss at each complexity, monotone front
+        merged = {}
+        for r in rows:
+            c = r["complexity"]
+            if c not in merged or r["loss"] < merged[c]["loss"]:
+                merged[c] = r
+        front, best = [], np.inf
+        for c in sorted(merged):
+            if merged[c]["loss"] < best:
+                best = merged[c]["loss"]
+                front.append(merged[c])
+        return front
 
     def eval_program(row, xx):
         # evaluate the row's raw tree directly (no string eval): the ops
@@ -124,19 +111,78 @@ def main():
                        jnp.asarray(xx, jnp.float32), d)
         return np.asarray(out[0], np.float64)
 
-    for row in front:
-        row["holdout_mse"] = float(np.mean(
-            (eval_program(row, x_hold) - y_hold) ** 2))
-        # full-set loss alongside the 720-sample fit loss: the reference's
-        # published Pareto losses are on all 900 samples, so direct
-        # comparisons use this column (advisor r03)
-        row["full_set_mse"] = float(np.mean(
-            (eval_program(row, x) - y) ** 2))
-        row["has_inv"] = int("inv(" in row["equation"])
+    def annotate(front):
+        for row in front:
+            row["holdout_mse"] = float(np.mean(
+                (eval_program(row, x_hold) - y_hold) ** 2))
+            # full-set loss alongside the 720-sample fit loss: the
+            # reference's published Pareto losses are on all 900 samples,
+            # so direct comparisons use this column (advisor r03)
+            row["full_set_mse"] = float(np.mean(
+                (eval_program(row, x) - y) ** 2))
+            row["has_inv"] = int("inv(" in row["equation"])
+        return front
+
+    # the holdout split stays pinned to args.seed across search seeds so
+    # every seed's front is scored on the same held-out samples
+    rows_all = []
+    seed_blocks = []
+    with Timer():
+        for sseed in range(args.search_seeds):
+            base = args.seed + 1000 * sseed   # sseed=0 == single-seed runs
+            rows_seed = []
+            run_idx = 0
+            for cfg, n_seeds in configs:
+                for s in range(n_seeds):
+                    t0 = Timer()
+                    with t0:
+                        res = fit_symbolic(
+                            jnp.asarray(x_fit), jnp.asarray(y_fit),
+                            jax.random.key(base + run_idx), cfg)
+                    front_r = pareto_front(res, with_programs=True)
+                    best_r = front_r[-1] if front_r else None
+                    best_str = (f"({best_r['complexity']}, "
+                                f"{round(best_r['loss'], 6)})"
+                                if best_r else "None")
+                    print(f"[seed {sseed} run {run_idx}] depth={cfg.depth} "
+                          f"pop={cfg.population} {t0.seconds:.0f}s "
+                          f"best={best_str}", file=sys.stderr, flush=True)
+                    rows_seed.append(front_r)
+                    run_idx += 1
+            front_seed = annotate(merge_front(
+                [r for fr in rows_seed for r in fr]))
+            inv_seed = [r for r in front_seed if r["has_inv"]]
+            best_any_s = (min(front_seed, key=lambda r: r["holdout_mse"])
+                          if front_seed else None)
+            best_inv_s = (min(inv_seed, key=lambda r: r["holdout_mse"])
+                          if inv_seed else None)
+            seed_blocks.append({
+                "search_seed": sseed,
+                "n_front_rows": len(front_seed),
+                "n_inv_family_rows": len(inv_seed),
+                "best_holdout_mse": (best_any_s["holdout_mse"]
+                                     if best_any_s else None),
+                "best_equation": (best_any_s["equation"]
+                                  if best_any_s else None),
+                "best_inv_family_holdout_mse": (best_inv_s["holdout_mse"]
+                                                if best_inv_s else None),
+                "best_inv_family_equation": (best_inv_s["equation"]
+                                             if best_inv_s else None),
+            })
+            if args.search_seeds > 1:
+                per_seed_csv = [dict(r) for r in front_seed]
+                for row in per_seed_csv:
+                    row.pop("ops"), row.pop("consts")
+                write_csv(args.results /
+                          f"symbolic_regression_result_seed{sseed}.csv",
+                          per_seed_csv)
+            rows_all.extend(r for fr in rows_seed for r in fr)
+
+    front = annotate(merge_front(rows_all))
 
     csv_rows = []
     for row in front:
-        row.pop("ops"), row.pop("consts")
+        row.pop("ops", None), row.pop("consts", None)
         print(row, file=sys.stderr)
         csv_rows.append(row)
     write_csv(args.results / "symbolic_regression_result.csv", csv_rows)
@@ -160,6 +206,10 @@ def main():
         "pareto_size": len(front),
         "max_complexity": front[-1]["complexity"] if front else None,
         "n_inv_family_rows": len(inv_rows),
+        # one block per independent search seed (--search-seeds): the
+        # rational-family re-discovery claim as a distribution, not an
+        # anecdote (r04 verdict item 5)
+        "seeds": seed_blocks,
         "y_variance": float(np.var(y)),
         "holdout": {
             "n_fit": int(len(y_fit)), "n_holdout": int(len(y_hold)),

@@ -244,3 +244,28 @@ def test_solver_agreement_at_reference_solution(reference):
     assert ok.all()
     delta = np.abs(np.asarray(rk.ys)[:, :, 0] - np.asarray(t5.ys)[:, :, 0])
     assert delta.max() < 1e-2, delta.max()
+
+
+ADVI_DIR = Path("/root/reference/source_data/advi")
+
+
+@pytest.mark.skipif(not ADVI_DIR.exists(),
+                    reason="reference ADVI artifacts not mounted")
+def test_reference_advi_artifact_layout():
+    """Pin the JLD2 layout of the reference's 25 ADVI artifacts
+    (``source_data/advi/cude_result_*.jld2``, the one cached artifact
+    family with no other numerical round-trip — r04 verdict missing #1;
+    the full cross-check runs in ``experiments/exp_advi.py``)."""
+    from conditional_ude_tpu.data.jld2 import load_reference_advi
+
+    ref = load_reference_advi(ADVI_DIR)
+    # 25 independent joint ADVI runs over the width-4/depth-2 cUDE with a
+    # 57-subject (70% of 82, stratified) training subset each
+    assert ref["parameters"].shape == (25, 37)
+    assert ref["betas"].shape == (25, 57)
+    assert (ref["width"], ref["depth"]) == (4, 2)
+    assert np.isfinite(ref["parameters"]).all()
+    assert np.isfinite(ref["betas"]).all()
+    # posterior-mean betas live on the fitted-β scale (same order of
+    # magnitude as the point-fit cache), not e.g. raw weights
+    assert np.abs(ref["betas"]).max() < 10.0
