@@ -249,6 +249,7 @@ def run_conditional_pipeline(args, cfg, artifact_name: str,
         train_timings=train_timings,
         net=net, model=model, art=art, candidates=candidates,
         betas_cand=betas_cand, best=best, nn_best=nn_best,
+        val_objectives=np.asarray(objectives),
         orientation=orientation,
         lb=float(lb), ub=float(ub),
         b_train=b_train, s_train=s_train, sse_train=sse_train,

@@ -49,6 +49,36 @@ def main():
     b_test, sse_test = r.b_test, r.sse_test
 
     b_all = np.concatenate([b_train, b_test])
+
+    # -- selection-saturation check (round-5 finding) -----------------------
+    # At 16x the reference's candidate count, the reference's
+    # argmin-validation rule (02-conditional.jl:40) overfits the 25-subject
+    # validation split: underfit-but-val-lucky candidates can win (they are
+    # the restarts with the WORST train objectives, whose flat production
+    # surfaces let the unbounded validation β refit absorb per-subject
+    # variation).  Report a guarded variant alongside — argmin validation
+    # restricted to the top half of candidates by train objective — so the
+    # committed artifact carries both the parity rule and the robust one.
+    import jax.numpy as jnp
+
+    from conditional_ude_tpu.fit.train import fit_betas_sigma
+
+    val_sums = r.val_objectives.sum(axis=1)
+    half = max(1, len(val_sums) // 2)          # candidates sorted best-first
+    best_guard = int(np.argmin(val_sums[:half]))
+    n_t = train.timepoints.shape[0]
+    if best_guard != best:
+        nn_g = r.candidates[best_guard]
+        bg = np.asarray(r.betas_cand[best_guard]).ravel()
+        lb_g = bg.min() - 0.1 * abs(bg.min())
+        ub_g = bg.max() + 0.1 * abs(bg.max())
+        _bg, s_g, o_g = map(np.asarray, fit_betas_sigma(
+            r.model, nn_g, r.cohort_test, initial_beta=-1.0,
+            bounds=(float(lb_g), float(ub_g)), lbfgs_iters=1000))
+        sse_test_guard = (o_g - (n_t / 2) * np.log(s_g**2)) * (2 * s_g**2)
+    else:
+        sse_test_guard = sse_test
+
     write_metrics(args.results / "exp02_xl_metrics.json", {
         "config": f"{cfg.initial_guesses} inits, "
                   f"{cfg.selected_initials} restarts "
@@ -62,6 +92,16 @@ def main():
         "test_sse_median": float(np.median(sse_test)),
         "spearman_first_phase": spearman(b_all, np.concatenate(
             [train.first_phase, test.first_phase])),
+        "selection_note": (
+            "argmin-validation at 96 candidates overfits the 25-subject "
+            "validation split (the winner can be an underfit restart with "
+            "a val-lucky flat surface); guarded_* rows restrict selection "
+            "to the top half by train objective"),
+        "guarded_best_model_index": best_guard,
+        "guarded_test_sse_mean": float(np.nanmean(
+            sse_test_guard[np.isfinite(sse_test_guard)])),
+        "guarded_test_sse_median": float(np.nanmedian(
+            sse_test_guard[np.isfinite(sse_test_guard)])),
     })
 
 

@@ -8,7 +8,7 @@ equation is the one THIS repo's GP search discovers on its own exported
 production surface (``models/symbolic.py::discovered_production``,
 ``results/symbolic_regression_result.csv`` c=12 row),
 
-    production(ΔG, b) = ΔG / (2.379·b·(ΔG + 16) + 9.129),  b = e^β scale,
+    production(ΔG, b) = 0.1817·ΔG / (b²·(ΔG + 5.507) + 2.99),  b = e^β scale,
 
 fit per individual ((b, σ) bounded L-BFGS, one vmapped program) on all 117
 Ohashi subjects, with β-surrogate correlations against the clamp indices,
@@ -123,7 +123,7 @@ def main():
     }, metadata={"script": "exp_symreg_production"})
 
     write_metrics(args.results / "exp_symreg_production_metrics.json", {
-        "equation": "dG / (2.379*b*(dG + 16) + 9.129)",
+        "equation": "0.1817*dG / (b^2*(dG + 5.507) + 2.99)",
         "b_mean": float(bs.mean()),
         "b_median": float(np.median(bs)),
         "mse_per_type": per_type_mse(types, sse_vals / n_t),
