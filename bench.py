@@ -246,6 +246,35 @@ def main():
         log(f"vg trial {trial}: {vg_reps * R} fused value+grad cohort "
             f"evals in {dt:.3f}s -> {vg_reps * R / dt:,.0f} evals/s")
 
+    # -- covariate screening path (3-input net, exp07's workload) ------------
+    # guards the covariate kernel variant: r04 recorded a 6x screen anomaly
+    # for exp07 that turned out to be the axon first-sync stall landing in
+    # the screen stage (the kernels measure equal; diagnosis in
+    # results/exp07_metrics.json) — this keeps any REAL covariate-kernel
+    # regression visible in BENCH_r*.json
+    net_cov = chain(4, 2, "tanh", input_dims=3)
+    nn_cov = net_cov.init_batch(jax.random.key(2), G)
+    if jax.default_backend() == "tpu":
+        cov_batched = jax.jit(lambda nn, b: population_sse_pallas(
+            net_cov, nn, b, cohort, substeps=8))
+    else:
+        model_cov = CPeptideModel(kind="conditional_covariate", net=net_cov)
+        cov_batched = jax.jit(jax.vmap(
+            lambda nn, b: population_sse(model_cov, nn, b[:, None], cohort,
+                                         solver="rk4", substeps=8)))
+    out_cov = cov_batched(nn_cov, betas)
+    jax.block_until_ready(out_cov)
+    cov_tput = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out_cov = cov_batched(nn_cov, betas)
+        jax.block_until_ready(out_cov)
+        dt = time.perf_counter() - t0
+        cov_tput = max(cov_tput, solves / dt)
+        log(f"covariate trial {trial}: {solves} solves in {dt:.3f}s -> "
+            f"{solves / dt:,.0f} solves/s")
+
     # -- census path: likelihood-profile scan kernel -------------------------
     # the third production hot path (10k-grid × N-individual identifiability
     # census, analysis/profiles.py): lanes = grid-point × individual through
@@ -352,6 +381,10 @@ def main():
         # each, lanes = grid × individual) per second through the fused
         # kernel — the identifiability census's unit of work
         "census_profile_points_per_sec": round(census_tput, 1),
+        # covariate-kernel guard: the 3-input (age) screening variant at
+        # the same 8192 x 82 workload — must stay within ~2x of the
+        # 2-input headline (it measures FASTER today; see exp07 notes)
+        "covariate_screen_solves_per_sec": round(cov_tput, 1),
     }))
 
 
