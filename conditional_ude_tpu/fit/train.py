@@ -105,7 +105,7 @@ class TrainResult(NamedTuple):
     timings: dict | None = None
 
 
-def _chunked_map(fn, xs, chunk: int, extra=None):
+def _chunked_map(fn, xs, chunk: int, extra=None, key=None):
     """``lax.map``-style evaluation in bounded-memory chunks (host loop).
 
     A partial tail chunk is padded up to the chunk size (repeating the last
@@ -117,12 +117,19 @@ def _chunked_map(fn, xs, chunk: int, extra=None):
     a traced operand — callers thread per-cohort DATA through it instead of
     closure-capturing it, so the compiled program (and its persistent-cache
     key) stays independent of the data bytes.
+
+    ``key``: optional hashable identity of everything ``fn`` closes over —
+    when given, the jitted wrapper joins the in-process ``_PROGRAMS`` cache
+    so repeat calls skip the Python re-trace.
     """
     n = jax.tree.leaves(xs)[0].shape[0]
     if extra is None:
-        jfn = jax.jit(jax.vmap(fn))   # one wrapper → one compile per shape
+        def build():
+            return jax.jit(jax.vmap(fn))  # one wrapper → one compile/shape
     else:
-        jfn = jax.jit(jax.vmap(fn, in_axes=(0, None)))
+        def build():
+            return jax.jit(jax.vmap(fn, in_axes=(0, None)))
+    jfn = build() if key is None else _program(("chunked_map", key), build)
     outs = []
     for i in range(0, n, chunk):
         part = jax.tree.map(lambda a: a[i : i + chunk], xs)
@@ -132,6 +139,36 @@ def _chunked_map(fn, xs, chunk: int, extra=None):
         outs.append(jfn(part)[:m] if extra is None
                     else jfn(part, extra)[:m])
     return jnp.concatenate(outs)
+
+
+# -- in-process program cache -------------------------------------------------
+# train_conditional (and evaluate_model) historically rebuilt their jitted
+# stage programs as fresh closures on every call, so every same-config call
+# repaid the Python trace+lower cost even though the persistent compile
+# cache already reused the XLA executable — and tracing, not compute, is
+# the refinement bottleneck (ops/pallas_grad.py module docstring).  The
+# closures are data-polymorphic by design (cohort DATA rides through as
+# traced operands; only the model/config/time-grid statics are captured),
+# so a program is safely reusable whenever those statics match.  Keys
+# include every captured static; shapes baked into a closure (L-BFGS's
+# flat-vector layout) are part of its key.  Multi-seed sweeps (exp05,
+# exp02_seeds, suppression λ-sweeps) hit this cache on every call after
+# the first.
+_PROGRAMS: dict = {}
+
+
+def _program(key, build):
+    fn = _PROGRAMS.get(key)
+    if fn is None:
+        fn = _PROGRAMS[key] = build()
+    return fn
+
+
+def _times_key(times) -> tuple:
+    """Hashable identity of a static time-grid pytree."""
+    return tuple(
+        (np.asarray(leaf).shape, np.asarray(leaf).tobytes())
+        for leaf in jax.tree.leaves(times))
 
 
 def _pallas_eligible(model: CPeptideModel, cfg: TrainConfig) -> bool:
@@ -290,7 +327,9 @@ def train_conditional(
                                   cohort_with_times(dyn, times), **loss_kw)
 
         screen = _chunked_map(screen_loss, (nn_inits, betas_init),
-                              cfg.screen_chunk, extra=dyn0)        # [G]
+                              cfg.screen_chunk, extra=dyn0,
+                              key=("screen", model, cfg,
+                                   _times_key(times)))             # [G]
 
     jax.block_until_ready(screen)
     _t1 = time.perf_counter()
@@ -367,19 +406,26 @@ def train_conditional(
         return (res.x["neural"], res.x["conditional"], res.opt_state,
                 res.loss_trace)
 
-    if fused_mesh:
-        _adam_cache = {}
+    # program-cache key: every static the refinement closures capture
+    # (model + cfg are frozen dataclasses; times identifies the grids the
+    # kernels bake in; mesh identity covers the shard_map wrapping)
+    _refine_key = (model, cfg, _times_key(times), bool(fused_vg),
+                   interpret, mesh if mesh is not None else None)
 
+    if fused_mesh:
         def adam_step(nn, b, state, dyn, iters):
-            if iters not in _adam_cache:
-                body = jax.vmap(partial(run_adam_chunk, iters=iters),
-                                in_axes=(0, 0, 0, None))
-                _adam_cache[iters] = jax.jit(_shard_restarts(body))
-            return _adam_cache[iters](nn, b, state, dyn)
+            prog = _program(
+                ("adam_mesh", _refine_key, iters),
+                lambda: jax.jit(_shard_restarts(
+                    jax.vmap(partial(run_adam_chunk, iters=iters),
+                             in_axes=(0, 0, 0, None)))))
+            return prog(nn, b, state, dyn)
     else:
-        adam_step = jax.jit(jax.vmap(run_adam_chunk,
+        adam_step = _program(
+            ("adam", _refine_key),
+            lambda: jax.jit(jax.vmap(run_adam_chunk,
                                      in_axes=(0, 0, 0, None, None)),
-                            static_argnums=4)
+                            static_argnums=4))
     state = jax.vmap(lambda nn, b: optax.adam(cfg.adam_lr).init(
         {"neural": nn, "conditional": b}))(nn0, b0)
     nn1, b1 = nn0, b0
@@ -422,19 +468,24 @@ def train_conditional(
         return (res.x[:p_nn], res.x[p_nn:].reshape(n, cfg.n_conditional),
                 res.fval, res.state)
 
+    # the flat-vector layout bakes (p_nn, n) into the closure, so they join
+    # the program key (the adam closures are shape-free and share across
+    # cohort sizes; these re-cache per cohort shape)
+    _lbfgs_key = (_refine_key, p_nn, n)
     if fused_mesh:
-        _lbfgs_cache = {}
-
         def lbfgs_step(nn, b, state, dyn, iters):
-            if iters not in _lbfgs_cache:
-                body = jax.vmap(partial(run_lbfgs_chunk, iters=iters),
-                                in_axes=(0, 0, 0, None))
-                _lbfgs_cache[iters] = jax.jit(_shard_restarts(body))
-            return _lbfgs_cache[iters](nn, b, state, dyn)
+            prog = _program(
+                ("lbfgs_mesh", _lbfgs_key, iters),
+                lambda: jax.jit(_shard_restarts(
+                    jax.vmap(partial(run_lbfgs_chunk, iters=iters),
+                             in_axes=(0, 0, 0, None)))))
+            return prog(nn, b, state, dyn)
     else:
-        lbfgs_step = jax.jit(jax.vmap(run_lbfgs_chunk,
-                                      in_axes=(0, 0, 0, None, None)),
-                             static_argnums=4)
+        lbfgs_step = _program(
+            ("lbfgs", _lbfgs_key),
+            lambda: jax.jit(jax.vmap(run_lbfgs_chunk,
+                                     in_axes=(0, 0, 0, None, None)),
+                            static_argnums=4))
     nn2, b2, objs, lb_state = nn1, b1, None, None
     done_iters = 0
     while done_iters < cfg.lbfgs_iters:
@@ -480,7 +531,8 @@ def train_conditional(
                     model, nn_, b_, cohort_, solver="tsit5",
                     max_steps=cfg.max_steps))(nn, b)
 
-            objs = jax.jit(_eval_tsit5)(nn2, b2, dyn0)
+            objs = _program(("final_tsit5", _refine_key),
+                            lambda: jax.jit(_eval_tsit5))(nn2, b2, dyn0)
 
     jax.block_until_ready(objs)
     _t4 = time.perf_counter()
@@ -519,9 +571,11 @@ def train_conditional(
     orients = None
     if cfg.n_conditional == 1 and model.net.input_dims == expected_in:
         mean_age = jnp.mean(cohort_full.individuals.age)
-        orients = jax.jit(jax.vmap(
-            lambda nn_, a_: production_orientation(model, nn_, age=a_),
-            in_axes=(0, None)))(nn2, mean_age)
+        orients = _program(
+            ("orientation", model),
+            lambda: jax.jit(jax.vmap(
+                lambda nn_, a_: production_orientation(model, nn_, age=a_),
+                in_axes=(0, None))))(nn2, mean_age)
 
     order = jnp.argsort(jnp.where(jnp.isfinite(objs), objs, jnp.inf))
     return TrainResult(nn_params=nn2[order], betas=b2[order],
@@ -694,16 +748,23 @@ def evaluate_model(
     big = 1e30
 
     # the validation cohort is a jit operand (not a closure capture) so a
-    # new same-shape cohort reuses the compiled selection program
-    def per_candidate(nn, b0, cohort_):
-        betas, objs = fit_betas(model, nn, cohort_, initial_beta=b0,
-                                bounds=(-big, big), lbfgs_iters=lbfgs_iters,
-                                solver=solver, max_steps=max_steps,
-                                substeps=substeps)
-        return objs
+    # new same-shape cohort reuses the compiled selection program; the
+    # jitted wrapper itself is program-cached so repeat selections skip
+    # the Python re-trace too
+    def build():
+        def per_candidate(nn, b0, cohort_):
+            betas, objs = fit_betas(model, nn, cohort_, initial_beta=b0,
+                                    bounds=(-big, big),
+                                    lbfgs_iters=lbfgs_iters,
+                                    solver=solver, max_steps=max_steps,
+                                    substeps=substeps)
+            return objs
 
-    return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, None)))(
-        candidates_nn, init_betas, cohort)
+        return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, None)))
+
+    prog = _program(("evaluate_model", model, lbfgs_iters, solver,
+                     max_steps, substeps), build)
+    return prog(candidates_nn, init_betas, cohort)
 
 
 def select_best(objectives: jax.Array) -> int:

@@ -272,7 +272,16 @@ def fit_suppression_sweep(
                              max_steps=cfg.max_steps)
         return e, jnp.sum(nn**2)
 
-    screen = jax.jit(jax.vmap(err_pen, in_axes=(0, 0, None)))
+    # in-process program cache (fit.train._PROGRAMS): the sweep closures
+    # capture only (net, cfg, tp) statics — data/λ ride as operands — so
+    # repeat sweeps (sensitivity maps, replications) skip the re-trace
+    from conditional_ude_tpu.fit.train import _program, _times_key
+
+    _key = (net, cfg, _times_key(tp),
+            mesh if mesh is not None else None)
+    screen = _program(("sup_screen", _key),
+                      lambda: jax.jit(jax.vmap(err_pen,
+                                               in_axes=(0, 0, None))))
     errs, pens = [], []
     for i in range(0, nn_inits.shape[0], cfg.screen_chunk):
         nn_c = nn_inits[i:i + cfg.screen_chunk]
@@ -322,9 +331,11 @@ def fit_suppression_sweep(
                             iters=iters, lr=cfg.adam_lr, opt_state=state)
         return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
 
-    run_adam = jax.jit(jax.vmap(adam_chunk,
-                                in_axes=(0, 0, 0, 0, None, None)),
-                       static_argnums=5)
+    run_adam = _program(
+        ("sup_adam", _key),
+        lambda: jax.jit(jax.vmap(adam_chunk,
+                                 in_axes=(0, 0, 0, 0, None, None)),
+                        static_argnums=5))
     state = jax.vmap(
         lambda nn, th: optax.adam(cfg.adam_lr).init({"nn": nn, "th": th})
     )(nn_c, th_c)
@@ -349,9 +360,11 @@ def fit_suppression_sweep(
                              x0, max_iters=iters, init_state=state)
         return res.x[:p_nn], res.x[p_nn:], res.fval, res.state
 
-    run_lbfgs = jax.jit(jax.vmap(lbfgs_chunk,
+    run_lbfgs = _program(
+        ("sup_lbfgs", _key, p_nn),
+        lambda: jax.jit(jax.vmap(lbfgs_chunk,
                                  in_axes=(0, 0, 0, 0, None, None)),
-                        static_argnums=5)
+                        static_argnums=5))
     objs = None
     lb_state = None
     done = 0

@@ -246,3 +246,44 @@ def test_train_conditional_dispatch_chunking_is_invisible(rng):
                                   np.asarray(chunked.betas))
     np.testing.assert_array_equal(np.asarray(one.objectives),
                                   np.asarray(chunked.objectives))
+
+
+def test_train_program_cache_reuses_across_calls(rng):
+    """Round 5: train_conditional's jitted stage programs join an
+    in-process cache keyed on every captured static (model/cfg/times/mesh),
+    because re-tracing — not compute — dominated repeat-call wall-clock
+    (multi-seed sweeps re-traced identical programs every call).  A repeat
+    call with the same statics must add ZERO new programs and reproduce
+    the first call bit-for-bit; a same-shape different-data call must also
+    reuse the programs (data rides through as traced operands) while
+    producing different numbers."""
+    import conditional_ude_tpu.fit.train as T
+
+    tp = np.array([0.0, 60.0, 120.0])
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        m = 6
+        return build_cohort(5 + r.uniform(0, 5, (m, 3)), tp,
+                            0.5 + r.uniform(0, 1.5, (m, 3)),
+                            r.uniform(30, 70, m), np.zeros(m, bool))
+
+    net = chain(4, 2, "tanh", input_dims=2)
+    model = CPeptideModel(kind="conditional", net=net)
+    cfg = T.TrainConfig(initial_guesses=16, selected_initials=2,
+                        adam_iters=5, lbfgs_iters=5, screen_chunk=16,
+                        use_pallas=False)
+    c1, c2 = mk(1), mk(2)
+
+    r1 = T.train_conditional(model, c1, jax.random.key(0), cfg)
+    jax.block_until_ready(r1.objectives)
+    n_programs = len(T._PROGRAMS)
+
+    r1b = T.train_conditional(model, c1, jax.random.key(0), cfg)
+    r2 = T.train_conditional(model, c2, jax.random.key(0), cfg)
+    jax.block_until_ready(r2.objectives)
+    assert len(T._PROGRAMS) == n_programs, "repeat call re-built programs"
+    np.testing.assert_array_equal(np.asarray(r1.objectives),
+                                  np.asarray(r1b.objectives))
+    assert not np.array_equal(np.asarray(r1.objectives),
+                              np.asarray(r2.objectives))
