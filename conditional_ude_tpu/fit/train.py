@@ -129,7 +129,8 @@ def _chunked_map(fn, xs, chunk: int, extra=None, key=None):
     else:
         def build():
             return jax.jit(jax.vmap(fn, in_axes=(0, None)))
-    jfn = build() if key is None else _program(("chunked_map", key), build)
+    jfn = build() if key is None else _program(
+        ("chunked_map", key, fn.__code__, extra is None), build)
     outs = []
     for i in range(0, n, chunk):
         part = jax.tree.map(lambda a: a[i : i + chunk], xs)
@@ -154,6 +155,13 @@ def _chunked_map(fn, xs, chunk: int, extra=None, key=None):
 # flat-vector layout) are part of its key.  Multi-seed sweeps (exp05,
 # exp02_seeds, suppression λ-sweeps) hit this cache on every call after
 # the first.
+#
+# KEY CONTRACT: a key must name (a) the program site, (b) every VALUE the
+# closure captures, and (c) the ``__code__`` object of the traced
+# function.  (c) makes source edits (including newly-captured variables)
+# miss the cache automatically and keeps distinct sites from colliding;
+# (b) still has to be maintained by hand — captured arrays/configs cannot
+# be introspected generically.
 _PROGRAMS: dict = {}
 
 
@@ -410,19 +418,19 @@ def train_conditional(
     # (model + cfg are frozen dataclasses; times identifies the grids the
     # kernels bake in; mesh identity covers the shard_map wrapping)
     _refine_key = (model, cfg, _times_key(times), bool(fused_vg),
-                   interpret, mesh if mesh is not None else None)
+                   interpret, mesh)
 
     if fused_mesh:
         def adam_step(nn, b, state, dyn, iters):
             prog = _program(
-                ("adam_mesh", _refine_key, iters),
+                ("adam_mesh", _refine_key, run_adam_chunk.__code__, iters),
                 lambda: jax.jit(_shard_restarts(
                     jax.vmap(partial(run_adam_chunk, iters=iters),
                              in_axes=(0, 0, 0, None)))))
             return prog(nn, b, state, dyn)
     else:
         adam_step = _program(
-            ("adam", _refine_key),
+            ("adam", _refine_key, run_adam_chunk.__code__),
             lambda: jax.jit(jax.vmap(run_adam_chunk,
                                      in_axes=(0, 0, 0, None, None)),
                             static_argnums=4))
@@ -475,14 +483,14 @@ def train_conditional(
     if fused_mesh:
         def lbfgs_step(nn, b, state, dyn, iters):
             prog = _program(
-                ("lbfgs_mesh", _lbfgs_key, iters),
+                ("lbfgs_mesh", _lbfgs_key, run_lbfgs_chunk.__code__, iters),
                 lambda: jax.jit(_shard_restarts(
                     jax.vmap(partial(run_lbfgs_chunk, iters=iters),
                              in_axes=(0, 0, 0, None)))))
             return prog(nn, b, state, dyn)
     else:
         lbfgs_step = _program(
-            ("lbfgs", _lbfgs_key),
+            ("lbfgs", _lbfgs_key, run_lbfgs_chunk.__code__),
             lambda: jax.jit(jax.vmap(run_lbfgs_chunk,
                                      in_axes=(0, 0, 0, None, None)),
                             static_argnums=4))
@@ -531,8 +539,9 @@ def train_conditional(
                     model, nn_, b_, cohort_, solver="tsit5",
                     max_steps=cfg.max_steps))(nn, b)
 
-            objs = _program(("final_tsit5", _refine_key),
-                            lambda: jax.jit(_eval_tsit5))(nn2, b2, dyn0)
+            objs = _program(
+                ("final_tsit5", _refine_key, _eval_tsit5.__code__),
+                lambda: jax.jit(_eval_tsit5))(nn2, b2, dyn0)
 
     jax.block_until_ready(objs)
     _t4 = time.perf_counter()
@@ -763,7 +772,7 @@ def evaluate_model(
         return jax.jit(jax.vmap(per_candidate, in_axes=(0, 0, None)))
 
     prog = _program(("evaluate_model", model, lbfgs_iters, solver,
-                     max_steps, substeps), build)
+                     max_steps, substeps, evaluate_model.__code__), build)
     return prog(candidates_nn, init_betas, cohort)
 
 

@@ -277,9 +277,8 @@ def fit_suppression_sweep(
     # repeat sweeps (sensitivity maps, replications) skip the re-trace
     from conditional_ude_tpu.fit.train import _program, _times_key
 
-    _key = (net, cfg, _times_key(tp),
-            mesh if mesh is not None else None)
-    screen = _program(("sup_screen", _key),
+    _key = (net, cfg, _times_key(tp), mesh)
+    screen = _program(("sup_screen", _key, err_pen.__code__),
                       lambda: jax.jit(jax.vmap(err_pen,
                                                in_axes=(0, 0, None))))
     errs, pens = [], []
@@ -332,7 +331,7 @@ def fit_suppression_sweep(
         return res.x["nn"], res.x["th"], res.opt_state, res.loss_trace
 
     run_adam = _program(
-        ("sup_adam", _key),
+        ("sup_adam", _key, adam_chunk.__code__),
         lambda: jax.jit(jax.vmap(adam_chunk,
                                  in_axes=(0, 0, 0, 0, None, None)),
                         static_argnums=5))
@@ -361,7 +360,7 @@ def fit_suppression_sweep(
         return res.x[:p_nn], res.x[p_nn:], res.fval, res.state
 
     run_lbfgs = _program(
-        ("sup_lbfgs", _key, p_nn),
+        ("sup_lbfgs", _key, p_nn, lbfgs_chunk.__code__),
         lambda: jax.jit(jax.vmap(lbfgs_chunk,
                                  in_axes=(0, 0, 0, 0, None, None)),
                         static_argnums=5))

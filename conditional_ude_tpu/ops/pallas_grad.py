@@ -499,9 +499,12 @@ def _lane_sse_and_grad_impl(
 
     nn_t = pad(nn_lanes).T                        # [P, Lp]
     b_t = pad(betas)[None, :]                     # [1, Lp]
-    g_t = pad(glucose).T                          # [K, Lp]
-    d_t = pad(data).T                             # [K, Lp]
-    kin_t = pad(kinetics).T                       # [4|5, Lp]
+    # same dtype normalization as the restart-lane fallback: the kernel's
+    # out_shapes are f32, and which path runs must not depend on whether
+    # the workload crosses PACK_MAX_LANES
+    g_t = pad(glucose.astype(jnp.float32)).T      # [K, Lp]
+    d_t = pad(data.astype(jnp.float32)).T         # [K, Lp]
+    kin_t = pad(kinetics.astype(jnp.float32)).T   # [4|5, Lp]
     # guard padded lanes: c0=1, k1=1 avoid 0/0 in u2 init (results for the
     # pad region are sliced off below either way)
     if l_pad != l_total:

@@ -5,10 +5,16 @@ The reference's budget is 25,000 inits → 25 restarts
 is ~milliseconds (fused Pallas kernel), so the search budget is effectively
 free — this driver runs an enlarged multi-start (default 400k inits →
 96 restarts, 16× the reference's screen and ~4× its refinement budget),
-selects on validation, and evaluates held-out test SSE.  The committed
-run beats the reference's own cached weights on test data (mean test SSE
-0.501 vs 0.582 = ``mse_mean_test``×5, ``results/exp_parity_metrics.json``)
-with selection never touching the test subjects.
+selects on validation, and evaluates held-out test SSE.
+
+Round-5 finding: at 96 candidates the reference's argmin-validation rule
+overfits the 25-subject validation split (selection saturation) — the
+metrics therefore report the parity rule AND a guarded variant (argmin
+validation within the top half by train objective).  The guarded
+selection beats the reference's own cached weights on test data (mean
+test SSE 0.493 vs 0.582 = ``mse_mean_test``×5,
+``results/exp_parity_metrics.json``) with selection never touching the
+test subjects.
 """
 
 from __future__ import annotations
@@ -59,8 +65,6 @@ def main():
     # variation).  Report a guarded variant alongside — argmin validation
     # restricted to the top half of candidates by train objective — so the
     # committed artifact carries both the parity rule and the robust one.
-    import jax.numpy as jnp
-
     from conditional_ude_tpu.fit.train import fit_betas_sigma
 
     val_sums = r.val_objectives.sum(axis=1)
@@ -74,7 +78,8 @@ def main():
         ub_g = bg.max() + 0.1 * abs(bg.max())
         _bg, s_g, o_g = map(np.asarray, fit_betas_sigma(
             r.model, nn_g, r.cohort_test, initial_beta=-1.0,
-            bounds=(float(lb_g), float(ub_g)), lbfgs_iters=1000))
+            bounds=(float(lb_g), float(ub_g)),
+            lbfgs_iters=100 if args.smoke else 1000))
         sse_test_guard = (o_g - (n_t / 2) * np.log(s_g**2)) * (2 * s_g**2)
     else:
         sse_test_guard = sse_test

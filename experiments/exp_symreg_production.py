@@ -6,7 +6,7 @@ Fujita) — but its equation comes from an external PySR run.  This
 experiment closes the same loop end-to-end with NO inherited pieces: the
 equation is the one THIS repo's GP search discovers on its own exported
 production surface (``models/symbolic.py::discovered_production``,
-``results/symbolic_regression_result.csv`` c=12 row),
+``results/symbolic_regression_result.csv`` c=14 row),
 
     production(ΔG, b) = 0.1817·ΔG / (b²·(ΔG + 5.507) + 2.99),  b = e^β scale,
 
